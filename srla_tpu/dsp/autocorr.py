@@ -1,0 +1,34 @@
+"""FFT-based (circular) sample autocorrelation, batched over blocks.
+
+Pipeline per block (float64, exact): window -> zero-pad to pow2 -> real FFT ->
+per-bin |X|^2 -> inverse real FFT -> scale by 2/n. Note the pad goes to the
+*next* power of two (not 2n), so for full blocks the autocorrelation is the
+circular one — that is the stream-normative behavior.
+(Parity: libs/lpc/src/lpc.c:330-376.)
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from .fft import real_fft, round_up_pow2
+
+
+def autocorr_fft(windowed: np.ndarray, num_samples: int, order: int) -> np.ndarray:
+    """windowed: (B, num_samples) float64. Returns (B, order) autocorrelation."""
+    fft_size = round_up_pow2(num_samples)
+    B = windowed.shape[0]
+    buf = np.zeros((B, fft_size))
+    buf[:, :num_samples] = windowed
+    buf = real_fft(buf, -1)
+    # Squared magnitudes in packed layout (DC and Nyquist are pure real).
+    out = np.empty_like(buf)
+    out[:, 0] = buf[:, 0] * buf[:, 0]
+    out[:, 1] = buf[:, 1] * buf[:, 1]
+    re = buf[:, 2::2]
+    im = buf[:, 3::2]
+    out[:, 2::2] = re * re + im * im
+    out[:, 3::2] = 0.0
+    out = real_fft(out, 1)
+    norm = 2.0 / num_samples
+    return out[:, :order] * norm

@@ -1,0 +1,589 @@
+"""SRLA encoder — block-batched host-exact pipeline.
+
+Architecture: unlike the sample-serial reference, analysis here is *batched
+over blocks* — every stage (pre-emphasis stats, windowing, FFT autocorrelation,
+Levinson-Durbin, order selection, quantization, integer FIR, Rice cost search)
+runs as vectorized array code over all blocks of equal size at once, staying
+bit-compatible with the reference stream. The JAX/TPU fast path reuses this
+exact structure (see srla_tpu/kernels/).
+
+API parity targets: SRLAEncoder_* in libs/srla_encoder/src/srla_encoder.c.
+"""
+
+from __future__ import annotations
+
+import math
+from dataclasses import dataclass, field
+
+import numpy as np
+
+from . import rice
+from .bitio import BitWriter, sint32_to_uint32
+from .constants import (LPC_COEFFICIENT_BITWIDTH, LPC_COEFFICIENT_ORDER_BITWIDTH,
+                        LPC_RIDGE_REGULARIZATION_PARAMETER,
+                        LTP_COEFFICIENT_BITWIDTH, LTP_MAX_PERIOD, LTP_MIN_PERIOD,
+                        LTP_ORDER_BITWIDTH, LTP_PERIOD_BITWIDTH,
+                        MAX_COEFFICIENT_ORDER, PARAMETER_PRESETS,
+                        PREEMPHASIS_COEF_SHIFT, RSHIFT_LPC_COEFFICIENT_BITWIDTH,
+                        BlockDataType, ChProcessMethod, OrderTactics)
+from .dsp import preemphasis as preemph
+from .dsp.autocorr import autocorr_fft
+from .dsp.fft import round_up_pow2
+from .dsp.levinson import levinson_coefs_at, levinson_error_vars
+from .dsp.pitch import calculate_ltp_coefficients
+from .dsp.predict import lpc_predict, ltp_predict
+from .dsp.quantize import quantize_coefficients
+from .dsp.window import welch_window
+from .format import StreamHeader, encode_header, frame_block
+from .huffman import parameter_codebook, sum_parameter_codebook
+
+_INV_LOGE2 = 1.4426950408889634
+_FLT_MAX = 3.402823466e38
+
+
+@dataclass
+class EncodeParameter:
+    num_channels: int
+    bits_per_sample: int
+    sampling_rate: int
+    preset: int = 4
+    max_num_samples_per_block: int = 4096
+    min_num_samples_per_block: int = 4096
+    num_lookahead_samples: int = 16384
+    ltp_order: int = 0
+    num_svr_filter_learning_iteration: int = 0
+
+    def validate(self):
+        if self.min_num_samples_per_block > self.max_num_samples_per_block:
+            raise ValueError("min block > max block")
+        if self.num_lookahead_samples < self.max_num_samples_per_block:
+            raise ValueError("lookahead < max block")
+        if self.num_lookahead_samples % self.min_num_samples_per_block != 0:
+            raise ValueError("lookahead not divisible by min block")
+        if self.ltp_order > 0 and self.ltp_order % 2 == 0:
+            raise ValueError("ltp order must be odd")
+        if self.ltp_order > 3:
+            raise ValueError("ltp order too large")
+
+
+@dataclass
+class _ChannelParams:
+    """Per-(block, channel-variant) analysis results, batched over blocks."""
+    pre_prev: np.ndarray      # (B,) int32 — transmitted pre-emphasis prev
+    pre_coef: np.ndarray      # (B,) int32
+    lpc_order: np.ndarray     # (B,) int32
+    lpc_rshift: np.ndarray    # (B,) int32
+    lpc_coefs: np.ndarray     # (B, maxorder) int32, reversed, left-aligned
+    use_sum_coef: np.ndarray  # (B,) bool
+    ltp_period: np.ndarray    # (B,) int32 (0 = off)
+    ltp_coefs: np.ndarray     # (B, ltp_order) int32, reversed
+    residual: np.ndarray      # (B, n) int32
+    code_length: np.ndarray   # (B,) int64 bits (everything but stereo flag)
+
+
+def _geometric_entropy_scalar(mabse: float, bps: int) -> float:
+    if mabse < 1e-16:
+        return 0.0
+    intmean = mabse * (1 << (bps - 1))
+    rho = 1.0 / (1.0 + intmean)
+    invrho = 1.0 - rho
+    return -(invrho * (math.log(invrho) * _INV_LOGE2)
+             + rho * (math.log(rho) * _INV_LOGE2)) / rho
+
+
+class SRLAEncoder:
+    def __init__(self, parameter: EncodeParameter):
+        parameter.validate()
+        self.p = parameter
+        self.preset = PARAMETER_PRESETS[parameter.preset]
+        self._param_cb = parameter_codebook()
+        self._sum_cb = sum_parameter_codebook()
+        self._param_lens = self._param_cb.lengths
+        self._sum_lens = self._sum_cb.lengths
+
+    # ------------------------------------------------------------------ #
+    # Per-channel analysis pipeline (batched over blocks of equal length) #
+    # ------------------------------------------------------------------ #
+
+    def _analyze_channel(self, sig: np.ndarray, n: int) -> _ChannelParams:
+        B = sig.shape[0]
+        bps = self.p.bits_per_sample
+        max_params = self.preset.max_num_parameters
+
+        # 1. Pre-emphasis: coefficient, then in-place filter with prev = head.
+        pre_coef = preemph.calculate_coefficient(sig, n)
+        head = sig[:, 0].copy()
+        work = preemph.preemphasis(sig[:, :n], pre_coef, head)
+
+        # 2. Long-term (pitch) prediction.
+        ltp_order = self.p.ltp_order
+        ltp_period = np.zeros(B, dtype=np.int32)
+        ltp_coefs = np.zeros((B, max(ltp_order, 1)), dtype=np.int32)
+        if ltp_order > 0:
+            norm = 2.0 ** (-(bps - 1))
+            dbl = work.astype(np.float64) * norm
+            win = welch_window(n)
+            windowed = dbl * win
+            if n & 1:
+                windowed[:, n // 2] = 0.0  # stale-buffer slot; see TODO
+            max_lag = LTP_MAX_PERIOD + 1
+            ac_len = min(max_lag, round_up_pow2(n))
+            ac = autocorr_fft(windowed, n, ac_len)
+            acbuf = np.zeros((B, LTP_MAX_PERIOD + 3))
+            acbuf[:, :ac_len] = ac
+            for b in range(B):
+                coef, period = calculate_ltp_coefficients(
+                    acbuf[b], ltp_order, LTP_MIN_PERIOD, LTP_MAX_PERIOD,
+                    LPC_RIDGE_REGULARIZATION_PARAMETER)
+                if period > 0:
+                    q = np.where(coef >= 0, np.floor(coef * 32.0 + 0.5),
+                                 -np.floor(-coef * 32.0 + 0.5))
+                    q = np.clip(q, -32, 31).astype(np.int32)
+                    ltp_coefs[b] = q[::-1]
+                    ltp_period[b] = period
+            if (ltp_period > 0).any():
+                filtered = ltp_predict(work, ltp_coefs, ltp_order, ltp_period,
+                                       LTP_COEFFICIENT_BITWIDTH - 1)
+                work = np.where((ltp_period > 0)[:, None], filtered, work)
+
+        # 3..9. LPC analysis chain.
+        orders = np.zeros(B, dtype=np.int32)
+        rshifts = np.zeros(B, dtype=np.int32)
+        int_coefs = np.zeros((B, max(max_params, 1)), dtype=np.int32)
+        if max_params > 0:
+            norm = 2.0 ** (-(bps - 1))
+            dbl = work.astype(np.float64) * norm
+            win = welch_window(n)
+            windowed = dbl * win
+            if n & 1:
+                windowed[:, n // 2] = 0.0  # TODO stale-buffer emulation
+            ac = autocorr_fft(windowed, n, max_params + 1)
+            ac[:, 0] = ac[:, 0] * (1.0 + LPC_RIDGE_REGULARIZATION_PARAMETER)
+            error_vars, _ = levinson_error_vars(ac, max_params)
+            # Window energy correction (applied before order selection).
+            from .dsp.window import welch_inverse_squared_sum
+            error_vars = error_vars * welch_inverse_squared_sum(n)
+            orders = self._select_order(error_vars, n, max_params)
+            coefs_f = levinson_coefs_at(ac, max_params, orders)
+            # (SVR refinement hook: num_svr_filter_learning_iteration > 0.)
+            if self.p.num_svr_filter_learning_iteration > 0:
+                coefs_f = self._svr_refine(dbl, coefs_f, orders, n)
+            int_coefs, rshifts = quantize_coefficients(
+                coefs_f, orders, LPC_COEFFICIENT_BITWIDTH,
+                1 << RSHIFT_LPC_COEFFICIENT_BITWIDTH)
+            rshifts = np.where(orders > 0, rshifts, 0).astype(np.int32)
+            # Reverse for forward-indexed convolution.
+            rev = np.zeros_like(int_coefs)
+            for b in range(B):
+                o = int(orders[b])
+                if o:
+                    rev[b, :o] = int_coefs[b, :o][::-1]
+            int_coefs = rev
+            residual = lpc_predict(work, int_coefs, orders, rshifts)
+        else:
+            residual = work.copy()
+
+        # 13. Exact bit accounting.
+        code_length = np.zeros(B, dtype=np.int64)
+        use_sum = np.zeros(B, dtype=bool)
+        plens = self._param_lens
+        slens = self._sum_lens
+        for b in range(B):
+            bits = rice.compute_code_length(residual[b], n)
+            bits += bps + 1 + (PREEMPHASIS_COEF_SHIFT + 1)
+            bits += LPC_COEFFICIENT_ORDER_BITWIDTH
+            bits += RSHIFT_LPC_COEFFICIENT_BITWIDTH
+            bits += 1  # use_sum flag
+            o = int(orders[b])
+            if o > 0:
+                c = int_coefs[b, :o]
+                uv = sint32_to_uint32(c)
+                coef_cost = int(plens[uv].sum())
+                summed = (c[1:].astype(np.int64) + c[:-1].astype(np.int64))
+                suv = sint32_to_uint32(summed.astype(np.int32))
+                # use_sum starts at 1 and is only *cleared* while scanning, so
+                # order-1 blocks keep it set (cost is identical either way).
+                if (suv < 256).all():
+                    sum_cost = int(plens[int(uv[0])]) + int(slens[suv].sum())
+                    if o == 1 or sum_cost < coef_cost:
+                        use_sum[b] = True
+                        bits += sum_cost
+                    else:
+                        bits += coef_cost
+                else:
+                    bits += coef_cost
+            bits += 1  # ltp flag
+            if int(ltp_period[b]) > 0:
+                bits += (LTP_ORDER_BITWIDTH + LTP_PERIOD_BITWIDTH
+                         + ltp_order * LTP_COEFFICIENT_BITWIDTH)
+            code_length[b] = bits
+
+        return _ChannelParams(head.astype(np.int32), pre_coef, orders, rshifts,
+                              int_coefs, use_sum, ltp_period, ltp_coefs,
+                              residual, code_length)
+
+    def _select_order(self, error_vars: np.ndarray, n: int,
+                      max_params: int) -> np.ndarray:
+        """Order selection per block (BRUTEFORCE_ESTIMATION or MAX_FIXED)."""
+        B = error_vars.shape[0]
+        if self.preset.lpc_order_tactics == OrderTactics.MAX_FIXED:
+            return np.full(B, max_params, dtype=np.int32)
+        bps = self.p.bits_per_sample
+        orders = np.zeros(B, dtype=np.int32)
+        for b in range(B):
+            minlen = _FLT_MAX
+            best = 0
+            for order in range(1, max_params + 1):
+                mabse = 2.0 * math.sqrt(error_vars[b, order] / 2.0)
+                length = (_geometric_entropy_scalar(mabse, bps) * n
+                          + LPC_COEFFICIENT_BITWIDTH * order)
+                if minlen > length:
+                    minlen = length
+                    best = order
+            orders[b] = best
+        return orders
+
+    def _svr_refine(self, dbl, coefs_f, orders, n):
+        from .dsp.svr import svr_refine_batch
+        return svr_refine_batch(dbl, coefs_f, orders, n,
+                                self.p.num_svr_filter_learning_iteration,
+                                self.p.bits_per_sample,
+                                LPC_RIDGE_REGULARIZATION_PARAMETER,
+                                self.preset.margin_list)
+
+    # ------------------------------------------------------------------ #
+    # Block-level encoding                                                #
+    # ------------------------------------------------------------------ #
+
+    def _compute_coefficients(self, blocks: np.ndarray, n: int,
+                              offset_lshift: int):
+        """blocks: (B, C, n) int32 raw samples. Returns (method (B,),
+        params per output channel list[C] of _ChannelParams, bits (B,))."""
+        B, C, _ = blocks.shape
+        work = (blocks >> offset_lshift).astype(np.int32) if offset_lshift \
+            else blocks.astype(np.int32)
+
+        ms_params = None
+        if C >= 2:
+            s = (work[:, 1] - work[:, 0]).astype(np.int32)
+            m = (work[:, 0] + (s >> 1)).astype(np.int32)
+            ms_params = [self._analyze_channel(m, n),
+                         self._analyze_channel(s, n)]
+        ch_params = [self._analyze_channel(work[:, c].copy(), n)
+                     for c in range(C)]
+
+        if C == 1:
+            method = np.zeros(B, dtype=np.int32)
+            bits = ch_params[0].code_length.copy()
+            out_params = ch_params
+        else:
+            l0 = ch_params[0].code_length
+            l1 = ch_params[1].code_length
+            m0 = ms_params[0].code_length
+            m1 = ms_params[1].code_length
+            lens = np.stack([l0 + l1, m0 + m1, l0 + m1, l1 + m1])  # NONE,MS,LS,SR
+            method = np.argmin(lens, axis=0).astype(np.int32)  # first min wins
+            bits = lens[method, np.arange(B)]
+            out_params = [self._merge_params(ch_params, ms_params, method, c, B)
+                          for c in range(C)]
+        bits = bits + 2
+        bits = ((bits + 7) // 8) * 8
+        return method, out_params, bits
+
+    @staticmethod
+    def _merge_params(ch_params, ms_params, method, c, B):
+        """Select per-block between plain and MS variants for channel c."""
+        if c >= 2:
+            return ch_params[c]
+        base = ch_params[c]
+        out = _ChannelParams(*[np.copy(getattr(base, f)) for f in
+                               base.__dataclass_fields__])
+        for b in range(B):
+            meth = int(method[b])
+            src = None
+            if meth == ChProcessMethod.MS:
+                src = ms_params[c]
+            elif meth == ChProcessMethod.LS and c == 1:
+                src = ms_params[1]
+            elif meth == ChProcessMethod.SR and c == 0:
+                src = ms_params[1]
+            if src is not None:
+                for f in base.__dataclass_fields__:
+                    getattr(out, f)[b] = getattr(src, f)[b]
+        return out
+
+    def _compress_payload(self, params, method_b: int, n: int, b: int,
+                          C: int) -> bytes:
+        """Assemble one block's compress payload from batched params."""
+        w = BitWriter()
+        w.put(method_b, 2)
+        bps = self.p.bits_per_sample
+        for c in range(C):
+            pp = params[c]
+            w.put(int(sint32_to_uint32(np.int32(pp.pre_prev[b]))), bps + 1)
+            w.put(int(sint32_to_uint32(np.int32(pp.pre_coef[b]))),
+                  PREEMPHASIS_COEF_SHIFT + 1)
+        for c in range(C):
+            pp = params[c]
+            o = int(pp.lpc_order[b])
+            w.put(o, LPC_COEFFICIENT_ORDER_BITWIDTH)
+            w.put(int(pp.lpc_rshift[b]), RSHIFT_LPC_COEFFICIENT_BITWIDTH)
+            w.put(1 if pp.use_sum_coef[b] else 0, 1)
+            if o > 0:
+                coefs = pp.lpc_coefs[b, :o]
+                uv = sint32_to_uint32(coefs)
+                if not pp.use_sum_coef[b]:
+                    w.put(self._param_cb.codes[uv], self._param_lens[uv])
+                else:
+                    w.put(int(self._param_cb.codes[uv[0]]),
+                          int(self._param_lens[uv[0]]))
+                    summed = (coefs[1:].astype(np.int64)
+                              + coefs[:-1].astype(np.int64)).astype(np.int32)
+                    suv = sint32_to_uint32(summed)
+                    w.put(self._sum_cb.codes[suv], self._sum_lens[suv])
+        for c in range(C):
+            pp = params[c]
+            per = int(pp.ltp_period[b])
+            w.put(1 if per else 0, 1)
+            if per:
+                w.put((self.p.ltp_order - 1) // 2, LTP_ORDER_BITWIDTH)
+                w.put(per - LTP_MIN_PERIOD, LTP_PERIOD_BITWIDTH)
+                uv = sint32_to_uint32(pp.ltp_coefs[b])
+                w.put(uv.astype(np.uint64),
+                      np.full(self.p.ltp_order, LTP_COEFFICIENT_BITWIDTH))
+        for c in range(C):
+            rice.encode_into(w, params[c].residual[b], n)
+        return w.getvalue()
+
+    def _raw_payload(self, block: np.ndarray, n: int) -> bytes:
+        """Channel-interleaved zigzag PCM at 8/16/24 bits BE."""
+        bps = self.p.bits_per_sample
+        uv = sint32_to_uint32(block[:, :n]).T  # (n, C)
+        nbytes = bps // 8
+        out = np.zeros((uv.shape[0], uv.shape[1], nbytes), dtype=np.uint8)
+        for i in range(nbytes):
+            out[:, :, i] = (uv >> (8 * (nbytes - 1 - i))).astype(np.uint8)
+        return out.tobytes()
+
+    def encode_whole(self, pcm: np.ndarray, progress_callback=None) -> bytes:
+        """pcm: (C, N) int32. Returns the complete .srl stream."""
+        C, N = pcm.shape
+        p = self.p
+        offset_lshift = _compute_offset_lshift(pcm)
+        header = StreamHeader(C, N, p.sampling_rate, p.bits_per_sample,
+                              offset_lshift, p.max_num_samples_per_block,
+                              p.preset)
+        out = [encode_header(header)]
+
+        if p.min_num_samples_per_block == p.max_num_samples_per_block:
+            out.extend(self._encode_fixed(pcm, offset_lshift))
+        else:
+            out.extend(self._encode_variable(pcm, offset_lshift))
+        return b"".join(out)
+
+    # -- fixed block path ------------------------------------------------ #
+
+    def _encode_fixed(self, pcm: np.ndarray, offset_lshift: int) -> list[bytes]:
+        C, N = pcm.shape
+        n = self.p.max_num_samples_per_block
+        spans = [(off, min(n, N - off)) for off in range(0, N, n)]
+        return self._encode_spans(pcm, spans, offset_lshift)
+
+    def _encode_spans(self, pcm: np.ndarray, spans, offset_lshift: int):
+        """Encode a list of (offset, size) blocks, batching by equal size."""
+        C = pcm.shape[0]
+        results: dict[int, bytes] = {}
+        # Classify block types.
+        types = {}
+        for i, (off, size) in enumerate(spans):
+            blk = pcm[:, off:off + size]
+            if size <= self.preset.max_num_parameters:
+                types[i] = BlockDataType.RAW
+            elif not blk.any():
+                types[i] = BlockDataType.SILENT
+            else:
+                types[i] = BlockDataType.COMPRESS
+
+        # Batch compress blocks by size.
+        by_size: dict[int, list[int]] = {}
+        for i, (off, size) in enumerate(spans):
+            if types[i] == BlockDataType.COMPRESS:
+                by_size.setdefault(size, []).append(i)
+        for size, idxs in by_size.items():
+            blocks = np.stack([pcm[:, spans[i][0]:spans[i][0] + size]
+                               for i in idxs])
+            method, params, _bits = self._compute_coefficients(
+                blocks.astype(np.int32), size, offset_lshift)
+            for bi, i in enumerate(idxs):
+                payload = self._compress_payload(params, int(method[bi]),
+                                                 size, bi, C)
+                raw_bits = self.p.bits_per_sample * size * C
+                if 8 * len(payload) >= raw_bits:
+                    blk = pcm[:, spans[i][0]:spans[i][0] + size]
+                    payload = self._raw_payload(blk.astype(np.int32), size)
+                    results[i] = frame_block(BlockDataType.RAW, size, payload)
+                else:
+                    results[i] = frame_block(BlockDataType.COMPRESS, size,
+                                             payload)
+        for i, (off, size) in enumerate(spans):
+            if types[i] == BlockDataType.SILENT:
+                results[i] = frame_block(BlockDataType.SILENT, size, b"")
+            elif types[i] == BlockDataType.RAW:
+                blk = pcm[:, off:off + size]
+                results[i] = frame_block(
+                    BlockDataType.RAW, size,
+                    self._raw_payload(blk.astype(np.int32), size))
+        return [results[i] for i in range(len(spans))]
+
+    # -- variable block path (optimal partition search) ------------------- #
+
+    def _encode_variable(self, pcm: np.ndarray, offset_lshift: int):
+        C, N = pcm.shape
+        p = self.p
+        lookahead = p.num_lookahead_samples
+        out = []
+        progress = 0
+        while progress < N:
+            span = min(lookahead, N - progress)
+            parts = self._search_partitions(pcm[:, progress:progress + span],
+                                            span, offset_lshift)
+            spans = []
+            off = 0
+            for size in parts:
+                spans.append((progress + off, size))
+                off += size
+            out.extend(self._encode_spans(pcm, spans, offset_lshift))
+            progress += span
+        return out
+
+    def _search_partitions(self, window: np.ndarray, span: int,
+                           offset_lshift: int) -> list[int]:
+        """Shortest-path search over candidate block boundaries.
+
+        Edge (i, j) cost = measured encoded size of that span. All edge spans
+        are evaluated as one batched encode per distinct size — the reference's
+        dominant serial cost becomes a batch dimension here.
+        """
+        p = self.p
+        dmin = p.min_num_samples_per_block
+        dmax = p.max_num_samples_per_block
+        num_nodes = (span + dmin - 1) // dmin + 1
+        BIG = float(1 << 24)
+        adj = np.full((num_nodes, num_nodes), BIG)
+
+        # Collect unique spans to measure, batched by size.
+        jobs = {}
+        for i in range(num_nodes):
+            for j in range(i + 1, num_nodes):
+                size = (j - i) * dmin
+                if size > dmax:
+                    continue
+                off = i * dmin
+                size = min(size, span - off)
+                jobs[(i, j)] = (off, size)
+        by_size: dict[int, list] = {}
+        for key, (off, size) in jobs.items():
+            by_size.setdefault(size, []).append((key, off))
+        for size, entries in by_size.items():
+            sizes = self._measure_blocks(
+                window, [off for _, off in entries], size, offset_lshift)
+            for (key, _), sz in zip(entries, sizes):
+                adj[key] = float(sz)
+
+        path = _dijkstra(adj, num_nodes, 0, num_nodes - 1, BIG)
+        # Walk back from goal, clip tail spans.
+        parts_rev = []
+        node = num_nodes - 1
+        while node != 0:
+            prev = path[node]
+            off = prev * dmin
+            size = min((node - prev) * dmin, span - off)
+            parts_rev.append(size)
+            node = prev
+        return parts_rev[::-1]
+
+    def _measure_blocks(self, window: np.ndarray, offsets, size: int,
+                        offset_lshift: int) -> list[int]:
+        """Measured block byte sizes for equal-size spans (batched)."""
+        C = window.shape[0]
+        idxs_compress = []
+        sizes = [0] * len(offsets)
+        raw_size = 11 + (self.p.bits_per_sample * size * C) // 8
+        for k, off in enumerate(offsets):
+            blk = window[:, off:off + size]
+            if size <= self.preset.max_num_parameters:
+                sizes[k] = raw_size
+            elif not blk.any():
+                sizes[k] = 11
+            else:
+                idxs_compress.append(k)
+        if idxs_compress:
+            blocks = np.stack([window[:, offsets[k]:offsets[k] + size]
+                               for k in idxs_compress]).astype(np.int32)
+            _method, _params, bits = self._compute_coefficients(
+                blocks, size, offset_lshift)
+            for bi, k in enumerate(idxs_compress):
+                nbits = int(bits[bi])
+                if nbits >= self.p.bits_per_sample * size * C:
+                    sizes[k] = raw_size
+                else:
+                    sizes[k] = 11 + nbits // 8
+        return sizes
+
+
+def _dijkstra(adj: np.ndarray, num_nodes: int, start: int, goal: int,
+              big: float) -> list[int]:
+    """Reference-faithful O(V^2) Dijkstra (same tie-breaking).
+
+    Parity: SRLAOptimalBlockPartitionCalculator_ApplyDijkstraMethod
+    (srla_encoder.c:249-307).
+    """
+    used = [False] * num_nodes
+    path = [~0] * num_nodes
+    cost = [big] * num_nodes
+    cost[start] = 0.0
+    while True:
+        mincost = big
+        target = start
+        for i in range(num_nodes):
+            if not used[i] and mincost > cost[i]:
+                mincost = cost[i]
+                target = i
+        if target == goal:
+            break
+        for i in range(num_nodes):
+            via = adj[target, i] + cost[target]
+            if cost[i] > via:
+                cost[i] = via
+                path[i] = target
+        used[target] = True
+    return path
+
+
+def _compute_offset_lshift(pcm: np.ndarray) -> int:
+    mask = 0
+    orred = np.bitwise_or.reduce(
+        np.bitwise_or.reduce(pcm.astype(np.int32).view(np.uint32), axis=1))
+    mask = int(orred)
+    if mask == 0:
+        return 0
+    return (mask & -mask).bit_length() - 1
+
+
+def encode(pcm: np.ndarray, bits_per_sample: int, sampling_rate: int,
+           preset: int = 4, max_block: int = 4096, variable_divisions: int = 0,
+           lookahead_factor: int = 4, ltp_order: int = 0,
+           svr_iterations: int = 0) -> bytes:
+    """One-shot file encode (CLI-equivalent defaults)."""
+    pcm = np.asarray(pcm, dtype=np.int32)
+    param = EncodeParameter(
+        num_channels=pcm.shape[0],
+        bits_per_sample=bits_per_sample,
+        sampling_rate=sampling_rate,
+        preset=preset,
+        max_num_samples_per_block=max_block,
+        min_num_samples_per_block=max_block >> variable_divisions,
+        num_lookahead_samples=lookahead_factor * max_block,
+        ltp_order=ltp_order,
+        num_svr_filter_learning_iteration=svr_iterations)
+    return SRLAEncoder(param).encode_whole(pcm)

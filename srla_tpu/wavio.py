@@ -1,0 +1,78 @@
+"""Minimal WAV read/write <-> int32 channel planes.
+
+Samples are held at their natural bit depth (16-bit -> [-32768, 32767]); 8-bit
+WAV is offset-binary (stored value - 128). Matches the reference tool's PCM
+conventions (libs/wav/src/wav.c:841-866) so golden comparisons are byte-true.
+"""
+
+from __future__ import annotations
+
+import struct
+from dataclasses import dataclass
+
+import numpy as np
+
+
+@dataclass
+class WavData:
+    pcm: np.ndarray          # (channels, num_samples) int32
+    sampling_rate: int
+    bits_per_sample: int
+
+
+def read_wav(path: str) -> WavData:
+    with open(path, "rb") as f:
+        raw = f.read()
+    if raw[:4] != b"RIFF" or raw[8:12] != b"WAVE":
+        raise ValueError("not a RIFF/WAVE file")
+    pos = 12
+    fmt = None
+    data = None
+    while pos + 8 <= len(raw):
+        cid = raw[pos:pos + 4]
+        size = struct.unpack_from("<I", raw, pos + 4)[0]
+        body = raw[pos + 8: pos + 8 + size]
+        if cid == b"fmt ":
+            fmt = body
+        elif cid == b"data":
+            data = body
+        pos += 8 + size + (size & 1)
+    if fmt is None or data is None:
+        raise ValueError("missing fmt/data chunk")
+    (_tag, nch, rate, _brate, _balign, bps) = struct.unpack_from("<HHIIHH", fmt)
+    nbytes = bps // 8
+    n = len(data) // (nbytes * nch)
+    buf = np.frombuffer(data[:n * nbytes * nch], dtype=np.uint8)
+    buf = buf.reshape(n, nch, nbytes)
+    val = np.zeros((n, nch), dtype=np.int64)
+    for b in range(nbytes):
+        val |= buf[:, :, b].astype(np.int64) << (8 * b)
+    if bps == 8:
+        pcm = val - 128
+    else:
+        sign = np.int64(1) << (bps - 1)
+        pcm = (val ^ sign) - sign
+    return WavData(pcm.T.astype(np.int32).copy(), rate, bps)
+
+
+def write_wav(path: str, wav: WavData) -> None:
+    pcm = wav.pcm
+    nch, n = pcm.shape
+    nbytes = wav.bits_per_sample // 8
+    inter = pcm.T.astype(np.int64)
+    if wav.bits_per_sample == 8:
+        inter = (inter + 128) & 0xFF
+    else:
+        inter = inter & ((np.int64(1) << wav.bits_per_sample) - 1)
+    out = np.zeros((n, nch, nbytes), dtype=np.uint8)
+    for b in range(nbytes):
+        out[:, :, b] = (inter >> (8 * b)) & 0xFF
+    payload = out.tobytes()
+    with open(path, "wb") as f:
+        byte_rate = wav.sampling_rate * nch * nbytes
+        f.write(b"RIFF" + struct.pack("<I", 36 + len(payload)) + b"WAVE")
+        f.write(b"fmt " + struct.pack("<IHHIIHH", 16, 1, nch, wav.sampling_rate,
+                                      byte_rate, nch * nbytes,
+                                      wav.bits_per_sample))
+        f.write(b"data" + struct.pack("<I", len(payload)))
+        f.write(payload)
