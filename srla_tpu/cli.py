@@ -67,7 +67,8 @@ def main(argv=None) -> int:
             variable_divisions=args.variable_block_divisions,
             lookahead_factor=args.lookahead_sample_factor,
             ltp_order=args.long_term_prediction,
-            svr_iterations=args.svr_filter_learning_iteration)
+            svr_iterations=args.svr_filter_learning_iteration,
+            backend=args.backend)
         with open(args.output, "wb") as f:
             f.write(data)
         insize = wav.pcm.nbytes // 4 * (wav.bits_per_sample // 8) + 44

@@ -79,6 +79,12 @@ class _ChannelParams:
     ltp_coefs: np.ndarray     # (B, ltp_order) int32, reversed
     residual: np.ndarray      # (B, n) int32
     code_length: np.ndarray   # (B,) int64 bits (everything but stereo flag)
+    rice_type: np.ndarray     # (B,) int32 CodeType
+    rice_porder: np.ndarray   # (B,) int32
+    rice_ks: np.ndarray       # (B, 1024) int16 per-partition parameters
+
+    def rows(self):
+        return [getattr(self, f) for f in self.__dataclass_fields__]
 
 
 def _geometric_entropy_scalar(mabse: float, bps: int) -> float:
@@ -91,10 +97,17 @@ def _geometric_entropy_scalar(mabse: float, bps: int) -> float:
              + rho * (math.log(rho) * _INV_LOGE2)) / rho
 
 
+def _slice_params(p: _ChannelParams, lo: int, hi: int) -> _ChannelParams:
+    return _ChannelParams(*[f[lo:hi] for f in p.rows()])
+
+
 class SRLAEncoder:
-    def __init__(self, parameter: EncodeParameter):
+    def __init__(self, parameter: EncodeParameter, backend: str = "exact"):
         parameter.validate()
         self.p = parameter
+        # The TPU fast path does not implement LTP yet — host fallback.
+        self.backend = "exact" if (backend == "tpu"
+                                   and parameter.ltp_order > 0) else backend
         self.preset = PARAMETER_PRESETS[parameter.preset]
         self._param_cb = parameter_codebook()
         self._sum_cb = sum_parameter_codebook()
@@ -183,64 +196,128 @@ class SRLAEncoder:
         else:
             residual = work.copy()
 
-        # 13. Exact bit accounting.
-        code_length = np.zeros(B, dtype=np.int64)
-        use_sum = np.zeros(B, dtype=bool)
-        plens = self._param_lens
-        slens = self._sum_lens
-        for b in range(B):
-            bits = rice.compute_code_length(residual[b], n)
-            bits += bps + 1 + (PREEMPHASIS_COEF_SHIFT + 1)
-            bits += LPC_COEFFICIENT_ORDER_BITWIDTH
-            bits += RSHIFT_LPC_COEFFICIENT_BITWIDTH
-            bits += 1  # use_sum flag
-            o = int(orders[b])
-            if o > 0:
-                c = int_coefs[b, :o]
-                uv = sint32_to_uint32(c)
-                coef_cost = int(plens[uv].sum())
-                summed = (c[1:].astype(np.int64) + c[:-1].astype(np.int64))
-                suv = sint32_to_uint32(summed.astype(np.int32))
-                # use_sum starts at 1 and is only *cleared* while scanning, so
-                # order-1 blocks keep it set (cost is identical either way).
-                if (suv < 256).all():
-                    sum_cost = int(plens[int(uv[0])]) + int(slens[suv].sum())
-                    if o == 1 or sum_cost < coef_cost:
-                        use_sum[b] = True
-                        bits += sum_cost
-                    else:
-                        bits += coef_cost
-                else:
-                    bits += coef_cost
-            bits += 1  # ltp flag
-            if int(ltp_period[b]) > 0:
-                bits += (LTP_ORDER_BITWIDTH + LTP_PERIOD_BITWIDTH
-                         + ltp_order * LTP_COEFFICIENT_BITWIDTH)
-            code_length[b] = bits
-
+        # 13. Exact bit accounting (vectorized over the batch).
+        rice_type, rice_porder, rice_bits, rice_ks, _ = rice.analyze_batch(
+            residual[:, :n], n)
+        code_length, use_sum = self._account_bits(
+            rice_bits, orders, int_coefs, ltp_period, ltp_order)
         return _ChannelParams(head.astype(np.int32), pre_coef, orders, rshifts,
                               int_coefs, use_sum, ltp_period, ltp_coefs,
-                              residual, code_length)
+                              residual, code_length, rice_type, rice_porder,
+                              rice_ks)
+
+    def _account_bits(self, rice_bits, orders, int_coefs, ltp_period,
+                      ltp_order):
+        """Exact per-channel bit accounting, vectorized (everything except
+        the stereo method field). Parity: srla_encoder.c:1121-1187."""
+        bps = self.p.bits_per_sample
+        plens = self._param_lens
+        slens = self._sum_lens
+        B, M = int_coefs.shape
+        mask = np.arange(M)[None, :] < orders[:, None]
+        uv = sint32_to_uint32(int_coefs)
+        coef_cost = np.where(mask, plens[uv], 0).sum(axis=1)
+        summed = (int_coefs[:, 1:].astype(np.int64)
+                  + int_coefs[:, :-1].astype(np.int64)).astype(np.int32)
+        suv = sint32_to_uint32(summed)
+        smask = mask[:, 1:]
+        svalid = (~smask | (suv < 256)).all(axis=1)
+        sum_cost = (plens[uv[:, 0]]
+                    + np.where(smask, slens[np.minimum(suv, 255)], 0).sum(axis=1))
+        # use_sum starts set and is only cleared while scanning; order-1
+        # blocks therefore keep it (identical cost either way).
+        use_sum = (orders > 0) & svalid & ((orders == 1)
+                                           | (sum_cost < coef_cost))
+        coef_bits = np.where(orders > 0,
+                             np.where(use_sum, sum_cost, coef_cost), 0)
+        code_length = (rice_bits.astype(np.int64)
+                       + bps + 1 + (PREEMPHASIS_COEF_SHIFT + 1)
+                       + LPC_COEFFICIENT_ORDER_BITWIDTH
+                       + RSHIFT_LPC_COEFFICIENT_BITWIDTH + 1
+                       + coef_bits + 1
+                       + np.where(ltp_period > 0,
+                                  LTP_ORDER_BITWIDTH + LTP_PERIOD_BITWIDTH
+                                  + ltp_order * LTP_COEFFICIENT_BITWIDTH, 0))
+        return code_length.astype(np.int64), use_sum
+
+    def _analyze_channel_tpu(self, sig: np.ndarray, n: int) -> _ChannelParams:
+        """TPU fast-path analysis: one jitted program over the variant batch.
+
+        LTP is not yet supported on this path (callers fall back to the host
+        pipeline when ltp_order > 0).
+        """
+        from .kernels.encode import analyze_variants
+        from .dsp.fft import round_up_pow2
+        B = sig.shape[0]
+        max_porder = 0
+        while n % (1 << (max_porder + 1)) == 0 and max_porder < 10:
+            max_porder += 1
+        import jax
+        out = analyze_variants(
+            sig, n=n, bps=self.p.bits_per_sample,
+            max_params=self.preset.max_num_parameters,
+            max_fixed=self.preset.lpc_order_tactics == OrderTactics.MAX_FIXED,
+            fft_size=round_up_pow2(n), max_porder=max_porder)
+        out = jax.device_get(out)  # one batched transfer
+        orders = out["orders"]
+        maxp = max(self.preset.max_num_parameters, 1)
+        int_coefs = out["coefs"][:, :maxp]
+        ltp_period = np.zeros(B, dtype=np.int32)
+        ltp_coefs = np.zeros((B, max(self.p.ltp_order, 1)), dtype=np.int32)
+        rice_ks = np.zeros((B, 1024), dtype=np.int16)
+        kcols = out["ks"].shape[1]
+        rice_ks[:, :kcols] = out["ks"]
+        code_length, use_sum = self._account_bits(
+            out["rice_bits"].astype(np.int64), orders, int_coefs,
+            ltp_period, self.p.ltp_order)
+        return _ChannelParams(out["pre_prev"], out["pre_coef"], orders,
+                              out["rshifts"], int_coefs, use_sum, ltp_period,
+                              ltp_coefs, out["residual"], code_length,
+                              out["code_type"], out["porder"], rice_ks)
 
     def _select_order(self, error_vars: np.ndarray, n: int,
                       max_params: int) -> np.ndarray:
-        """Order selection per block (BRUTEFORCE_ESTIMATION or MAX_FIXED)."""
+        """Order selection per block (BRUTEFORCE_ESTIMATION or MAX_FIXED).
+
+        Vectorized entropy estimate with scalar-libm re-evaluation whenever
+        the top two candidates are too close to trust np.log's last ulp.
+        """
         B = error_vars.shape[0]
         if self.preset.lpc_order_tactics == OrderTactics.MAX_FIXED:
             return np.full(B, max_params, dtype=np.int32)
         bps = self.p.bits_per_sample
-        orders = np.zeros(B, dtype=np.int32)
-        for b in range(B):
-            minlen = _FLT_MAX
-            best = 0
-            for order in range(1, max_params + 1):
-                mabse = 2.0 * math.sqrt(error_vars[b, order] / 2.0)
-                length = (_geometric_entropy_scalar(mabse, bps) * n
+        with np.errstate(invalid="ignore", divide="ignore"):
+            mabse = 2.0 * np.sqrt(error_vars[:, 1:] / 2.0)
+            intmean = mabse * float(1 << (bps - 1))
+            rho = 1.0 / (1.0 + intmean)
+            invrho = 1.0 - rho
+            ent = -(invrho * (np.log(invrho) * _INV_LOGE2)
+                    + rho * (np.log(rho) * _INV_LOGE2)) / rho
+            ent = np.where(mabse < 1e-16, 0.0, ent)
+            length = (ent * n + LPC_COEFFICIENT_BITWIDTH
+                      * np.arange(1, max_params + 1)[None, :])
+        safe = np.where(np.isnan(length), np.inf, length)
+        orders = (np.argmin(safe, axis=1) + 1).astype(np.int32)
+        # Tie repair: re-evaluate blocks whose best two lengths are within
+        # 1e-6 bits using the exact libm chain.
+        part = np.partition(safe, 1, axis=1) if safe.shape[1] > 1 else None
+        if part is not None:
+            risky = np.flatnonzero(np.abs(part[:, 1] - part[:, 0]) < 1e-6)
+            for b in risky:
+                minlen = _FLT_MAX
+                best = 0
+                for order in range(1, max_params + 1):
+                    ev = error_vars[b, order]
+                    if not ev >= 0.0:  # NaN/negative: C's NaN never selected
+                        continue
+                    mab = 2.0 * math.sqrt(ev / 2.0)
+                    ln = (_geometric_entropy_scalar(mab, bps) * n
                           + LPC_COEFFICIENT_BITWIDTH * order)
-                if minlen > length:
-                    minlen = length
-                    best = order
-            orders[b] = best
+                    if minlen > ln:
+                        minlen = ln
+                        best = order
+                if best > 0:
+                    orders[b] = best
         return orders
 
     def _svr_refine(self, dbl, coefs_f, orders, n):
@@ -263,14 +340,29 @@ class SRLAEncoder:
         work = (blocks >> offset_lshift).astype(np.int32) if offset_lshift \
             else blocks.astype(np.int32)
 
-        ms_params = None
+        # Stack all channel variants ([M, S] + plain channels) into ONE
+        # batched analysis call — on TPU this is a single device program.
+        variants = []
         if C >= 2:
             s = (work[:, 1] - work[:, 0]).astype(np.int32)
             m = (work[:, 0] + (s >> 1)).astype(np.int32)
-            ms_params = [self._analyze_channel(m, n),
-                         self._analyze_channel(s, n)]
-        ch_params = [self._analyze_channel(work[:, c].copy(), n)
-                     for c in range(C)]
+            variants.extend([m, s])
+        variants.extend(work[:, c] for c in range(C))
+        stack = np.ascontiguousarray(np.concatenate(variants, axis=0))
+        # Small batches (lone tail blocks) aren't worth a device program
+        # compile + tunnel round trip — keep them on the host path.
+        use_tpu = self.backend == "tpu" and B * max(C, 2) >= 8
+        analyze = (self._analyze_channel_tpu if use_tpu
+                   else self._analyze_channel)
+        all_params = analyze(stack, n)
+        split = [_slice_params(all_params, i * B, (i + 1) * B)
+                 for i in range(len(variants))]
+        if C >= 2:
+            ms_params = split[:2]
+            ch_params = split[2:]
+        else:
+            ms_params = None
+            ch_params = split
 
         if C == 1:
             method = np.zeros(B, dtype=np.int32)
@@ -352,7 +444,10 @@ class SRLAEncoder:
                 w.put(uv.astype(np.uint64),
                       np.full(self.p.ltp_order, LTP_COEFFICIENT_BITWIDTH))
         for c in range(C):
-            rice.encode_into(w, params[c].residual[b], n)
+            pp = params[c]
+            uvals = sint32_to_uint32(pp.residual[b, :n]).astype(np.int64)
+            rice.emit_channel(w, uvals, n, int(pp.rice_type[b]),
+                              int(pp.rice_porder[b]), pp.rice_ks[b])
         return w.getvalue()
 
     def _raw_payload(self, block: np.ndarray, n: int) -> bytes:
@@ -573,7 +668,7 @@ def _compute_offset_lshift(pcm: np.ndarray) -> int:
 def encode(pcm: np.ndarray, bits_per_sample: int, sampling_rate: int,
            preset: int = 4, max_block: int = 4096, variable_divisions: int = 0,
            lookahead_factor: int = 4, ltp_order: int = 0,
-           svr_iterations: int = 0) -> bytes:
+           svr_iterations: int = 0, backend: str = "exact") -> bytes:
     """One-shot file encode (CLI-equivalent defaults)."""
     pcm = np.asarray(pcm, dtype=np.int32)
     param = EncodeParameter(
@@ -586,4 +681,4 @@ def encode(pcm: np.ndarray, bits_per_sample: int, sampling_rate: int,
         num_lookahead_samples=lookahead_factor * max_block,
         ltp_order=ltp_order,
         num_svr_filter_learning_iteration=svr_iterations)
-    return SRLAEncoder(param).encode_whole(pcm)
+    return SRLAEncoder(param, backend=backend).encode_whole(pcm)

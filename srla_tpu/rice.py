@@ -103,6 +103,80 @@ def _partition_means(uvals: np.ndarray, num_samples: int):
     return max_porder, means
 
 
+def analyze_batch(residuals: np.ndarray, num_samples: int):
+    """Exact, fully vectorized partition search over a batch (V, n).
+
+    Returns (code_type (V,), best_porder (V,), min_bits (V,) int64,
+    ks (V, 1024) int16, uvals (V, n) int64). Bit-identical decisions to the
+    scalar `analyze` (f64 means are exact; the plain-Rice libm chain uses
+    rice_k_array's tie repair).
+    """
+    V, n = residuals.shape
+    assert n == num_samples
+    uvals = sint32_to_uint32(residuals.astype(np.int32)).astype(np.int64)
+    max_porder = 1
+    while num_samples % (1 << max_porder) == 0:
+        max_porder += 1
+    max_porder = min(max_porder - 1, CODER_LOG2_MAX_NUM_PARTITIONS)
+
+    max_uval = uvals.max(axis=1)
+    # Leaf sums are exact in f64; coarser means by pairwise merging.
+    nleaf = 1 << max_porder
+    leaf_mean = (uvals.reshape(V, nleaf, -1).sum(axis=2).astype(np.float64)
+                 / (num_samples // nleaf))
+    means = [None] * (max_porder + 1)
+    means[max_porder] = leaf_mean
+    for p in range(max_porder - 1, -1, -1):
+        m = means[p + 1]
+        means[p] = (m[:, 0::2] + m[:, 1::2]) / 2.0
+
+    recursive = means[0][:, 0] >= 2.0
+    best_bits = np.full(V, np.iinfo(np.int64).max, dtype=np.int64)
+    best_porder = np.zeros(V, dtype=np.int32)
+    best_ks = np.zeros((V, 1024), dtype=np.int16)
+
+    rec_idx = np.flatnonzero(recursive)
+    rice_idx = np.flatnonzero(~recursive)
+    for porder in range(max_porder + 1):
+        nparts = 1 << porder
+        nsmpl = num_samples >> porder
+        up = uvals.reshape(V, nparts, nsmpl)
+        m = means[porder]
+        ks = np.zeros((V, nparts), dtype=np.int64)
+        part_bits = np.zeros((V, nparts), dtype=np.int64)
+        if rec_idx.size:
+            k2 = recursive_rice_k2_array(m[rec_idx].ravel()).reshape(-1, nparts)
+            k1pow = np.int64(1) << (k2 + 1)
+            d = (up[rec_idx] - k1pow[:, :, None]) & 0xFFFFFFFF
+            d = np.where(d >= (1 << 31), d - (1 << 32), d)
+            rbits = (np.maximum(d, 0) >> k2[:, :, None]).sum(axis=2)
+            part_bits[rec_idx] = (k2 + 2) * nsmpl + rbits
+            ks[rec_idx] = k2
+        if rice_idx.size:
+            k = rice_k_array(m[rice_idx].ravel()).reshape(-1, nparts)
+            rbits = (up[rice_idx] >> k[:, :, None]).sum(axis=2)
+            part_bits[rice_idx] = (k + 1) * nsmpl + rbits
+            ks[rice_idx] = k
+        deltas = sint32_to_uint32(
+            (ks[:, 1:] - ks[:, :-1]).astype(np.int32)).astype(np.int64)
+        bits = (CODER_LOG2_MAX_NUM_PARTITIONS + CODER_RICE_PARAMETER_BITS
+                + part_bits.sum(axis=1) + deltas.sum(axis=1) + deltas.shape[1])
+        better = bits < best_bits
+        best_bits = np.where(better, bits, best_bits)
+        best_porder = np.where(better, porder, best_porder)
+        if better.any():
+            best_ks[better, :nparts] = ks[better]
+            best_ks[better, nparts:] = 0
+
+    allzero = max_uval == 0
+    code_type = np.where(allzero, int(CodeType.ALLZERO),
+                         np.where(recursive, int(CodeType.RECURSIVE_RICE),
+                                  int(CodeType.RICE))).astype(np.int32)
+    min_bits = np.where(allzero, 0, best_bits) + 2
+    best_porder = np.where(allzero, 0, best_porder)
+    return code_type, best_porder, min_bits.astype(np.int64), best_ks, uvals
+
+
 def analyze(residual: np.ndarray, num_samples: int) -> RiceAnalysis:
     """Search the best code type and partition order for one channel-block."""
     data = np.asarray(residual[:num_samples], dtype=np.int32)
@@ -154,46 +228,58 @@ def compute_code_length(residual: np.ndarray, num_samples: int) -> int:
 def encode_into(writer: BitWriter, residual: np.ndarray, num_samples: int,
                 analysis: RiceAnalysis | None = None) -> None:
     a = analysis if analysis is not None else analyze(residual, num_samples)
-    writer.put(int(a.code_type), 2)
-    if a.code_type == CodeType.ALLZERO:
+    ks = a.part_ks if a.part_ks is not None else np.zeros(1, dtype=np.int64)
+    emit_channel(writer, a.uvals, num_samples, a.code_type, a.best_porder, ks)
+
+
+def emit_channel(writer: BitWriter, uvals: np.ndarray, num_samples: int,
+                 code_type: int, porder: int, ks: np.ndarray) -> None:
+    """Emit one channel-block with precomputed partition parameters, fully
+    vectorized: one interleaved (vals, nbits) array covers the partition
+    parameters and every sample codeword."""
+    writer.put(int(code_type), 2)
+    if code_type == CodeType.ALLZERO:
         return
-    writer.put(a.best_porder, CODER_LOG2_MAX_NUM_PARTITIONS)
-    nparts = 1 << a.best_porder
-    nsmpl = num_samples >> a.best_porder
-    uvals = a.uvals.reshape(nparts, nsmpl)
-    ks = a.part_ks
-    for part in range(nparts):
-        k = int(ks[part])
-        if part == 0:
-            writer.put(k, CODER_RICE_PARAMETER_BITS)
+    writer.put(int(porder), CODER_LOG2_MAX_NUM_PARTITIONS)
+    nparts = 1 << porder
+    nsmpl = num_samples >> porder
+    ks = np.asarray(ks[:nparts], dtype=np.int64)
+    u = np.asarray(uvals[:num_samples], dtype=np.int64)
+    ksmp = np.repeat(ks, nsmpl)
+    if code_type == CodeType.RICE:
+        q = u >> ksmp
+        total = q + 1 + ksmp
+        vals = (np.int64(1) << ksmp) | (u & ((np.int64(1) << ksmp) - 1))
+    else:
+        k1 = ksmp + 1
+        k1pow = np.int64(1) << k1
+        small = u < k1pow
+        tmp = np.where(small, 0, u - k1pow)
+        q = np.where(small, 0, 1 + (tmp >> ksmp))
+        total = np.where(small, k1 + 1, q + 1 + ksmp)
+        vals = np.where(small, k1pow | u,
+                        (np.int64(1) << ksmp) | (tmp & ((np.int64(1) << ksmp) - 1)))
+    # Partition parameter codewords: 5-bit first k, then unary zigzag deltas.
+    deltas = sint32_to_uint32((ks[1:] - ks[:-1]).astype(np.int32)).astype(np.int64)
+    pvals = np.concatenate([[int(ks[0])], np.ones(nparts - 1, dtype=np.int64)])
+    pbits = np.concatenate([[CODER_RICE_PARAMETER_BITS], deltas + 1])
+    # Interleave: param codeword before each partition's samples.
+    ins = np.arange(nparts) * nsmpl
+    all_vals = np.insert(vals, ins, pvals)
+    all_bits = np.insert(total, ins, pbits)
+    if (all_bits <= 32).all():
+        writer.put(all_vals.astype(np.uint64), all_bits)
+        return
+    # Rare long codewords: chunked emission.
+    for v, nb in zip(all_vals, all_bits):
+        nb = int(nb)
+        if nb <= 32:
+            writer.put(int(v), nb)
         else:
-            writer.put_zero_run(int(sint32_to_uint32(
-                np.int32(k - int(ks[part - 1])))))
-        u = uvals[part]
-        if a.code_type == CodeType.RICE:
-            # codeword = q zeros, a 1, then k low bits.
-            q = u >> k
-            total = q + 1 + k
-            vals = (np.int64(1) << k) | (u & ((1 << k) - 1))
-        else:
-            k1 = k + 1
-            k1pow = 1 << k1
-            small = u < k1pow
-            tmp = np.where(small, 0, u - k1pow)
-            q = np.where(small, 0, 1 + (tmp >> k))
-            total = np.where(small, k1 + 1, q + 1 + k)
-            vals = np.where(small, k1pow | u, (np.int64(1) << k) | (tmp & ((1 << k) - 1)))
-        if (total <= 32).all():
-            writer.put(vals.astype(np.uint64), total)
-        else:
-            for i in range(nsmpl):
-                t = int(total[i])
-                if t <= 32:
-                    writer.put(int(vals[i]), t)
-                else:
-                    # Long codeword: explicit zero-run + k remainder bits.
-                    writer.put_zero_run(t - 1 - k)
-                    writer.put(int(vals[i]) & ((1 << k) - 1), k)
+            # v = (1 << k) | low_k_bits with nb-1-k leading zeros.
+            k = int(v).bit_length() - 1
+            writer.put_zero_run(nb - 1 - k)
+            writer.put(int(v) & ((1 << k) - 1), k)
 
 
 def decode(reader: BitReader, num_samples: int) -> np.ndarray:
