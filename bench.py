@@ -1,0 +1,96 @@
+#!/usr/bin/env python3
+"""Benchmark: encode x-realtime per chip at the BASELINE matched point
+(-m 4, B=4096, stereo 16-bit 44.1 kHz), TPU fast path.
+
+Prints ONE JSON line:
+  {"metric": ..., "value": N, "unit": "x_realtime", "vs_baseline": N}
+
+Baseline (BASELINE.md): reference AVX2 encode at -m 4 -B 4096 runs at
+0.366 %RT = 273.2x realtime on one x86 core.
+"""
+
+import json
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, __file__.rsplit("/", 1)[0])
+
+BASELINE_ENCODE_XRT = 273.2  # 1 / 0.366% (AVX2, -m 4, B=4096)
+
+
+def make_music(seconds: float, rate: int = 44100, seed: int = 7) -> np.ndarray:
+    """Deterministic music-like stereo signal: harmonics + AM + noise floor."""
+    n = int(seconds * rate)
+    t = np.arange(n) / rate
+    rng = np.random.RandomState(seed)
+    env = 0.55 + 0.45 * np.sin(2 * np.pi * 0.25 * t + 0.7)
+    sig = env * (np.sin(2 * np.pi * 196.0 * t) * 0.32
+                 + np.sin(2 * np.pi * 392.0 * t + 0.3) * 0.17
+                 + np.sin(2 * np.pi * 587.3 * t + 1.1) * 0.09
+                 + np.sin(2 * np.pi * 1174.7 * t + 0.2) * 0.04)
+    sig = sig + rng.randn(n) * 0.035
+    left = np.round(np.clip(sig, -1, 1) * 23000).astype(np.int32)
+    right = np.round(np.clip(np.roll(sig, 11) * 0.93, -1, 1)
+                     * 23000).astype(np.int32)
+    return np.stack([left, right])
+
+
+def main():
+    from srla_tpu import decode, encode
+
+    seconds = 120.0
+    rate = 44100
+    pcm = make_music(seconds, rate)
+    raw_bytes = pcm.shape[1] * pcm.shape[0] * 2 + 44
+
+    backend = "tpu"
+    try:
+        import jax
+        jax.devices()
+    except Exception as e:  # no device: fall back to host path
+        print(f"bench: no accelerator ({e}); using exact host path",
+              file=sys.stderr)
+        backend = "exact"
+
+    # Warm-up with the full-size input: device programs compile once per
+    # shape bucket, and this environment's remote-compile tunnel makes cold
+    # compiles minutes long. The metric is steady-state throughput.
+    t_w = time.time()
+    encode(pcm, 16, rate, preset=4, backend=backend)
+    print(f"bench: warm-up (compile) {time.time() - t_w:.1f}s",
+          file=sys.stderr)
+
+    t0 = time.time()
+    stream = encode(pcm, 16, rate, preset=4, backend=backend)
+    t1 = time.time()
+    encode_xrt = seconds / (t1 - t0)
+
+    t2 = time.time()
+    _, out = decode(stream)
+    t3 = time.time()
+    decode_xrt = seconds / (t3 - t2)
+    lossless = np.array_equal(out, pcm)
+
+    ratio = 100.0 * len(stream) / raw_bytes
+    print(f"bench[{backend}]: encode {t1 - t0:.2f}s ({encode_xrt:.1f}x RT), "
+          f"decode {t3 - t2:.2f}s ({decode_xrt:.1f}x RT), "
+          f"compression {ratio:.2f}%, lossless={lossless}",
+          file=sys.stderr)
+    if not lossless:
+        print(json.dumps({"metric": "encode_xrt_m4_b4096", "value": 0.0,
+                          "unit": "x_realtime", "vs_baseline": 0.0}))
+        return 1
+
+    print(json.dumps({
+        "metric": "encode_xrt_m4_b4096",
+        "value": round(encode_xrt, 2),
+        "unit": "x_realtime",
+        "vs_baseline": round(encode_xrt / BASELINE_ENCODE_XRT, 4),
+    }))
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

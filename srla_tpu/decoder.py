@@ -44,10 +44,15 @@ class _BlockParams:
 
 
 class SRLADecoder:
-    def __init__(self, check_checksum: bool = True):
+    def __init__(self, check_checksum: bool = True, use_native: bool = True):
         self.check_checksum = check_checksum
         self._param_cb = parameter_codebook()
         self._sum_cb = sum_parameter_codebook()
+        self._native = None
+        if use_native:
+            from . import native_decoder
+            if native_decoder.available():
+                self._native = native_decoder
 
     def decode_block_params(self, payload: bytes, header: StreamHeader,
                             num_samples: int) -> _BlockParams:
@@ -143,9 +148,15 @@ class SRLADecoder:
                 pcm[:, progress:progress + nsamples] = self.decode_raw_block(
                     payload, header, nsamples)
             elif btype == BlockDataType.COMPRESS:
-                bp = self.decode_block_params(payload, header, nsamples)
-                pcm[:, progress:progress + nsamples] = self.synthesize_block(
-                    bp, header, nsamples)
+                if self._native is not None:
+                    pcm[:, progress:progress + nsamples] = \
+                        self._native.decode_block(
+                            payload, C, header.bits_per_sample, nsamples,
+                            header.offset_lshift)
+                else:
+                    bp = self.decode_block_params(payload, header, nsamples)
+                    pcm[:, progress:progress + nsamples] = \
+                        self.synthesize_block(bp, header, nsamples)
             offset = poff + psize
             progress += nsamples
         return header, pcm

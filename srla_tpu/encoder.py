@@ -19,6 +19,7 @@ import numpy as np
 
 from . import rice
 from .bitio import BitWriter, sint32_to_uint32
+from .bitsplice import PayloadBuilder
 from .constants import (LPC_COEFFICIENT_BITWIDTH, LPC_COEFFICIENT_ORDER_BITWIDTH,
                         LPC_RIDGE_REGULARIZATION_PARAMETER,
                         LTP_COEFFICIENT_BITWIDTH, LTP_MAX_PERIOD, LTP_MIN_PERIOD,
@@ -240,40 +241,9 @@ class SRLAEncoder:
                                   + ltp_order * LTP_COEFFICIENT_BITWIDTH, 0))
         return code_length.astype(np.int64), use_sum
 
-    def _analyze_channel_tpu(self, sig: np.ndarray, n: int) -> _ChannelParams:
-        """TPU fast-path analysis: one jitted program over the variant batch.
-
-        LTP is not yet supported on this path (callers fall back to the host
-        pipeline when ltp_order > 0).
-        """
-        from .kernels.encode import analyze_variants
-        from .dsp.fft import round_up_pow2
-        B = sig.shape[0]
-        max_porder = 0
-        while n % (1 << (max_porder + 1)) == 0 and max_porder < 10:
-            max_porder += 1
-        import jax
-        out = analyze_variants(
-            sig, n=n, bps=self.p.bits_per_sample,
-            max_params=self.preset.max_num_parameters,
-            max_fixed=self.preset.lpc_order_tactics == OrderTactics.MAX_FIXED,
-            fft_size=round_up_pow2(n), max_porder=max_porder)
-        out = jax.device_get(out)  # one batched transfer
-        orders = out["orders"]
-        maxp = max(self.preset.max_num_parameters, 1)
-        int_coefs = out["coefs"][:, :maxp]
-        ltp_period = np.zeros(B, dtype=np.int32)
-        ltp_coefs = np.zeros((B, max(self.p.ltp_order, 1)), dtype=np.int32)
-        rice_ks = np.zeros((B, 1024), dtype=np.int16)
-        kcols = out["ks"].shape[1]
-        rice_ks[:, :kcols] = out["ks"]
-        code_length, use_sum = self._account_bits(
-            out["rice_bits"].astype(np.int64), orders, int_coefs,
-            ltp_period, self.p.ltp_order)
-        return _ChannelParams(out["pre_prev"], out["pre_coef"], orders,
-                              out["rshifts"], int_coefs, use_sum, ltp_period,
-                              ltp_coefs, out["residual"], code_length,
-                              out["code_type"], out["porder"], rice_ks)
+    # ------------------------------------------------------------------ #
+    # Block-level encoding                                                #
+    # ------------------------------------------------------------------ #
 
     def _select_order(self, error_vars: np.ndarray, n: int,
                       max_params: int) -> np.ndarray:
@@ -308,7 +278,7 @@ class SRLAEncoder:
                 best = 0
                 for order in range(1, max_params + 1):
                     ev = error_vars[b, order]
-                    if not ev >= 0.0:  # NaN/negative: C's NaN never selected
+                    if not ev >= 0.0:  # NaN/negative: never selected (C NaN)
                         continue
                     mab = 2.0 * math.sqrt(ev / 2.0)
                     ln = (_geometric_entropy_scalar(mab, bps) * n
@@ -328,10 +298,6 @@ class SRLAEncoder:
                                 LPC_RIDGE_REGULARIZATION_PARAMETER,
                                 self.preset.margin_list)
 
-    # ------------------------------------------------------------------ #
-    # Block-level encoding                                                #
-    # ------------------------------------------------------------------ #
-
     def _compute_coefficients(self, blocks: np.ndarray, n: int,
                               offset_lshift: int):
         """blocks: (B, C, n) int32 raw samples. Returns (method (B,),
@@ -349,12 +315,7 @@ class SRLAEncoder:
             variants.extend([m, s])
         variants.extend(work[:, c] for c in range(C))
         stack = np.ascontiguousarray(np.concatenate(variants, axis=0))
-        # Small batches (lone tail blocks) aren't worth a device program
-        # compile + tunnel round trip — keep them on the host path.
-        use_tpu = self.backend == "tpu" and B * max(C, 2) >= 8
-        analyze = (self._analyze_channel_tpu if use_tpu
-                   else self._analyze_channel)
-        all_params = analyze(stack, n)
+        all_params = self._analyze_channel(stack, n)
         split = [_slice_params(all_params, i * B, (i + 1) * B)
                  for i in range(len(variants))]
         if C >= 2:
@@ -504,7 +465,14 @@ class SRLAEncoder:
         for i, (off, size) in enumerate(spans):
             if types[i] == BlockDataType.COMPRESS:
                 by_size.setdefault(size, []).append(i)
+        C = pcm.shape[0]
         for size, idxs in by_size.items():
+            # Large equal-size groups go through the device pipeline
+            # (analysis + residual packing on TPU); small groups stay host.
+            if self.backend == "tpu" and len(idxs) * max(C, 2) >= 8:
+                results.update(self._encode_group_device(
+                    pcm, spans, idxs, size, offset_lshift))
+                continue
             blocks = np.stack([pcm[:, spans[i][0]:spans[i][0] + size]
                                for i in idxs])
             method, params, _bits = self._compute_coefficients(
@@ -529,6 +497,193 @@ class SRLAEncoder:
                     BlockDataType.RAW, size,
                     self._raw_payload(blk.astype(np.int32), size))
         return [results[i] for i in range(len(spans))]
+
+    # -- device (TPU) group encode: on-device packing --------------------- #
+
+    def _device_args(self, n: int):
+        from .dsp.fft import round_up_pow2
+        max_porder = 0
+        while n % (1 << (max_porder + 1)) == 0 and max_porder < 10:
+            max_porder += 1
+        return dict(
+            n=n, bps=self.p.bits_per_sample,
+            max_params=self.preset.max_num_parameters,
+            max_fixed=self.preset.lpc_order_tactics == OrderTactics.MAX_FIXED,
+            fft_size=round_up_pow2(n), max_porder=max_porder)
+
+    def _variant_stack(self, blocks: np.ndarray, n: int, offset_lshift: int,
+                       pad_bucket: int = 0):
+        B, C, _ = blocks.shape
+        work = (blocks >> offset_lshift).astype(np.int32) if offset_lshift \
+            else blocks.astype(np.int32)
+        variants = []
+        if C >= 2:
+            s = (work[:, 1] - work[:, 0]).astype(np.int32)
+            m = (work[:, 0] + (s >> 1)).astype(np.int32)
+            variants.extend([m, s])
+        variants.extend(work[:, c] for c in range(C))
+        stack = np.ascontiguousarray(np.concatenate(variants, axis=0))
+        if pad_bucket:
+            # Pad the batch axis to a bucket size so device programs are
+            # compiled once per bucket, not once per file length.
+            V = stack.shape[0]
+            Vp = ((V + pad_bucket - 1) // pad_bucket) * pad_bucket
+            if Vp != V:
+                stack = np.pad(stack, ((0, Vp - V), (0, 0)))
+        return stack
+
+    def _encode_group_device(self, pcm: np.ndarray, spans, idxs, size: int,
+                             offset_lshift: int) -> dict[int, bytes]:
+        """Encode one equal-size block group with on-device analysis AND
+        on-device residual packing; only parameters and the compacted packed
+        sections cross the (slow) device->host link."""
+        import jax
+
+        from .kernels.encode import analyze_pack_variants, gather_sections
+
+        C = pcm.shape[0]
+        B = len(idxs)
+        bps = self.p.bits_per_sample
+        blocks = np.stack([pcm[:, spans[i][0]:spans[i][0] + size]
+                           for i in idxs]).astype(np.int32)
+        stack = self._variant_stack(blocks, size, offset_lshift,
+                                    pad_bucket=512)
+        W = (size * (bps + 4)) // 32 + 64
+        small, words = analyze_pack_variants(stack, W=W,
+                                             **self._device_args(size))
+        small = jax.device_get(small)
+        sec_bits = small["section_bits"].astype(np.int64)
+        orders = small["orders"]
+        maxp = max(self.preset.max_num_parameters, 1)
+        coefs = small["coefs"][:, :maxp]
+        nvar = stack.shape[0] // B
+        code_len, use_sum = self._account_bits(
+            sec_bits, orders, coefs, np.zeros(stack.shape[0], np.int32), 0)
+
+        # Stereo method selection (same argmin as the host path).
+        def cl(vix):
+            return code_len[vix * B:(vix + 1) * B]
+        if C == 1:
+            method = np.zeros(B, dtype=np.int32)
+            bits = cl(0).copy()
+        else:
+            lens = np.stack([cl(2) + cl(3), cl(0) + cl(1),
+                             cl(2) + cl(1), cl(3) + cl(1)])
+            method = np.argmin(lens, axis=0).astype(np.int32)
+            bits = lens[method, np.arange(B)]
+        bits = ((bits + 2 + 7) // 8) * 8
+
+        # Per-(block, channel) chosen variant rows.
+        def row_of(bi, c):
+            m = int(method[bi])
+            if C == 1:
+                vix = 0
+            elif m == ChProcessMethod.MS:
+                vix = c if c < 2 else 2 + c
+            elif m == ChProcessMethod.LS and c == 1:
+                vix = 1
+            elif m == ChProcessMethod.SR and c == 0:
+                vix = 1
+            else:
+                vix = 2 + c
+            return vix * B + bi
+
+        raw_bits = bps * size * C
+        compress_idx = [bi for bi in range(B) if int(bits[bi]) < raw_bits]
+        # Device sections truncate at W words; punt those blocks to the host.
+        safe = []
+        for bi in compress_idx:
+            rows = [row_of(bi, c) for c in range(C)]
+            if all(int(sec_bits[r]) <= W * 32 for r in rows):
+                safe.append(bi)
+        results: dict[int, bytes] = {}
+        for bi in set(compress_idx) - set(safe):
+            i = idxs[bi]
+            sub = self._encode_spans(pcm, [spans[i]], offset_lshift)
+            results[i] = sub[0]
+        compress_idx = safe
+
+        # Compact + fetch the chosen packed sections (one transfer).
+        chosen_rows = [row_of(bi, c) for bi in compress_idx for c in range(C)]
+        if chosen_rows:
+            lens_w = np.array([(int(sec_bits[r]) + 31) // 32
+                               for r in chosen_rows], dtype=np.int32)
+            starts = np.concatenate([[0], np.cumsum(lens_w)[:-1]]).astype(
+                np.int32)
+            total = int(lens_w.sum())
+            cap = ((total + 65535) // 65536) * 65536
+            flat = gather_sections(words, np.asarray(chosen_rows, np.int32),
+                                   starts, lens_w, cap)
+            flat = np.asarray(jax.device_get(flat)).astype(">u4")
+            flat_bytes = flat.tobytes()
+
+        for k, bi in enumerate(compress_idx):
+            i = idxs[bi]
+            pb = PayloadBuilder(int(bits[bi]) // 8 + 8)
+            head = self._params_header_bits(small, method, B, bi, row_of, C)
+            pb.append_bytes(head.getvalue(), head.tell_bits())
+            for c in range(C):
+                r = k * C + c
+                lo, hi = int(starts[r]) * 4, (int(starts[r]) + int(lens_w[r])) * 4
+                pb.append_array(np.frombuffer(flat_bytes[lo:hi], np.uint8),
+                                int(sec_bits[chosen_rows[r]]))
+            payload = pb.getvalue()
+            if 8 * len(payload) >= raw_bits:
+                blk = pcm[:, spans[i][0]:spans[i][0] + size].astype(np.int32)
+                results[i] = frame_block(BlockDataType.RAW, size,
+                                         self._raw_payload(blk, size))
+            else:
+                results[i] = frame_block(BlockDataType.COMPRESS, size, payload)
+        # Raw-fallback blocks decided up front.
+        for bi in range(B):
+            if int(bits[bi]) >= raw_bits:
+                i = idxs[bi]
+                blk = pcm[:, spans[i][0]:spans[i][0] + size].astype(np.int32)
+                results[i] = frame_block(BlockDataType.RAW, size,
+                                         self._raw_payload(blk, size))
+        return results
+
+    def _params_header_bits(self, small, method, B, bi, row_of, C):
+        """Method + per-channel parameter fields (everything except the
+        residual sections) for one block, from the fetched device arrays."""
+        w = BitWriter()
+        w.put(int(method[bi]), 2)
+        bps = self.p.bits_per_sample
+        rows = [row_of(bi, c) for c in range(C)]
+        for r in rows:
+            w.put(int(sint32_to_uint32(np.int32(small["pre_prev"][r]))),
+                  bps + 1)
+            w.put(int(sint32_to_uint32(np.int32(small["pre_coef"][r]))),
+                  PREEMPHASIS_COEF_SHIFT + 1)
+        plens = self._param_lens
+        slens = self._sum_lens
+        for r in rows:
+            o = int(small["orders"][r])
+            w.put(o, LPC_COEFFICIENT_ORDER_BITWIDTH)
+            w.put(int(small["rshifts"][r]), RSHIFT_LPC_COEFFICIENT_BITWIDTH)
+            if o == 0:
+                w.put(0, 1)
+                continue
+            cfs = small["coefs"][r, :o].astype(np.int32)
+            uv = sint32_to_uint32(cfs)
+            coef_cost = int(plens[uv].sum())
+            summed = (cfs[1:].astype(np.int64)
+                      + cfs[:-1].astype(np.int64)).astype(np.int32)
+            suv = sint32_to_uint32(summed)
+            use_sum = False
+            if (suv < 256).all():
+                sum_cost = int(plens[int(uv[0])]) + int(slens[suv].sum())
+                use_sum = (o == 1) or (sum_cost < coef_cost)
+            w.put(1 if use_sum else 0, 1)
+            if use_sum:
+                w.put(int(self._param_cb.codes[uv[0]]),
+                      int(self._param_lens[uv[0]]))
+                w.put(self._sum_cb.codes[suv], self._sum_lens[suv])
+            else:
+                w.put(self._param_cb.codes[uv], self._param_lens[uv])
+        for _ in rows:
+            w.put(0, 1)  # LTP flag (device path has no LTP)
+        return w
 
     # -- variable block path (optimal partition search) ------------------- #
 
@@ -615,8 +770,11 @@ class SRLAEncoder:
         if idxs_compress:
             blocks = np.stack([window[:, offsets[k]:offsets[k] + size]
                                for k in idxs_compress]).astype(np.int32)
-            _method, _params, bits = self._compute_coefficients(
-                blocks, size, offset_lshift)
+            if self.backend == "tpu" and len(idxs_compress) * max(C, 2) >= 8:
+                bits = self._measure_group_device(blocks, size, offset_lshift)
+            else:
+                _method, _params, bits = self._compute_coefficients(
+                    blocks, size, offset_lshift)
             for bi, k in enumerate(idxs_compress):
                 nbits = int(bits[bi])
                 if nbits >= self.p.bits_per_sample * size * C:
@@ -624,6 +782,34 @@ class SRLAEncoder:
                 else:
                     sizes[k] = 11 + nbits // 8
         return sizes
+
+    def _measure_group_device(self, blocks: np.ndarray, size: int,
+                              offset_lshift: int) -> np.ndarray:
+        """Estimated block bit counts from the device analysis (fetches only
+        the small per-variant arrays — residuals never cross the link)."""
+        import jax
+
+        from .kernels.encode import analyze_variants
+        B, C, _ = blocks.shape
+        stack = self._variant_stack(blocks, size, offset_lshift,
+                                    pad_bucket=512)
+        out = analyze_variants(stack, **self._device_args(size))
+        small = jax.device_get({k: out[k] for k in
+                                ("rice_bits", "orders", "coefs")})
+        maxp = max(self.preset.max_num_parameters, 1)
+        code_len, _ = self._account_bits(
+            small["rice_bits"].astype(np.int64), small["orders"],
+            small["coefs"][:, :maxp], np.zeros(stack.shape[0], np.int32), 0)
+
+        def cl(vix):
+            return code_len[vix * B:(vix + 1) * B]
+        if C == 1:
+            bits = cl(0).copy()
+        else:
+            lens = np.stack([cl(2) + cl(3), cl(0) + cl(1),
+                             cl(2) + cl(1), cl(3) + cl(1)])
+            bits = lens.min(axis=0)
+        return ((bits + 2 + 7) // 8) * 8
 
 
 def _dijkstra(adj: np.ndarray, num_nodes: int, start: int, goal: int,

@@ -268,14 +268,8 @@ def _rice_cost(residual: jnp.ndarray, n: int, max_porder: int):
     return code_type, best_porder, bits, best_ks
 
 
-@partial(jax.jit, static_argnames=("n", "bps", "max_params", "max_fixed",
-                                   "fft_size", "max_porder"))
-def analyze_variants(sig: jnp.ndarray, *, n: int, bps: int, max_params: int,
-                     max_fixed: bool, fft_size: int, max_porder: int):
-    """Full analysis for a batch of channel-variants.
-
-    sig: (V, n) int32 (offset-shifted, stereo-transformed).
-    """
+def _analyze_core(sig: jnp.ndarray, *, n: int, bps: int, max_params: int,
+                  max_fixed: bool, fft_size: int, max_porder: int):
     work, pre_coef = _preemphasis(sig)
     pre_prev = sig[:, 0]
     V = sig.shape[0]
@@ -299,3 +293,56 @@ def analyze_variants(sig: jnp.ndarray, *, n: int, bps: int, max_params: int,
                 rshifts=rshifts, coefs=coefs_rev, residual=residual,
                 code_type=code_type, porder=best_porder, rice_bits=rice_bits,
                 ks=ks)
+
+
+@partial(jax.jit, static_argnames=("n", "bps", "max_params", "max_fixed",
+                                   "fft_size", "max_porder"))
+def analyze_variants(sig: jnp.ndarray, *, n: int, bps: int, max_params: int,
+                     max_fixed: bool, fft_size: int, max_porder: int):
+    """Full analysis for a batch of channel-variants (residuals returned)."""
+    return _analyze_core(sig, n=n, bps=bps, max_params=max_params,
+                         max_fixed=max_fixed, fft_size=fft_size,
+                         max_porder=max_porder)
+
+
+@partial(jax.jit, static_argnames=("n", "bps", "max_params", "max_fixed",
+                                   "fft_size", "max_porder", "W"))
+def analyze_pack_variants(sig: jnp.ndarray, *, n: int, bps: int,
+                          max_params: int, max_fixed: bool, fft_size: int,
+                          max_porder: int, W: int):
+    """Analysis + on-device residual-section packing.
+
+    Returns (small, words): `small` holds per-variant parameters and exact
+    section bit counts (cheap to fetch); `words` is the (V, W) packed residual
+    sections, intended to stay on device until gather_sections.
+    """
+    from .bitpack import pack_residual_sections
+    out = _analyze_core(sig, n=n, bps=bps, max_params=max_params,
+                        max_fixed=max_fixed, fft_size=fft_size,
+                        max_porder=max_porder)
+    u = _zigzag(out["residual"])
+    words, sec_bits = pack_residual_sections(
+        u, out["code_type"], out["porder"], out["ks"], n, W)
+    small = {k: out[k] for k in ("pre_prev", "pre_coef", "orders", "rshifts",
+                                 "coefs", "code_type", "porder", "rice_bits")}
+    small["section_bits"] = sec_bits
+    return small, words
+
+
+@partial(jax.jit, static_argnames=("cap",))
+def gather_sections(words: jnp.ndarray, chosen: jnp.ndarray,
+                    starts: jnp.ndarray, lens: jnp.ndarray, cap: int):
+    """Compact chosen variants' packed sections into one flat word buffer.
+
+    words: (V, W); chosen: (K,) variant rows in output order; starts: (K,)
+    word offsets (cumsum of lens); lens: (K,) word counts. Returns (cap,)
+    uint32 — fetch this (it is roughly the compressed size).
+    """
+    j = jnp.arange(cap, dtype=jnp.int32)
+    seg = jnp.clip(jnp.searchsorted(starts, j, side="right") - 1,
+                   0, chosen.shape[0] - 1)
+    row = chosen[seg]
+    col = j - starts[seg]
+    ok = (col >= 0) & (col < lens[seg])
+    col = jnp.clip(col, 0, words.shape[1] - 1)
+    return jnp.where(ok, words[row, col], 0)

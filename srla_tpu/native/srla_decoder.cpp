@@ -1,0 +1,305 @@
+// Native SRLA block decoder.
+//
+// Original implementation for the srla_tpu framework: a 64-bit staging
+// bitreader feeds LUT-driven Huffman decode, partitioned (recursive) Rice
+// residual decode, and the integer synthesis chain (LPC recurrence, long-term
+// prediction, de-emphasis, stereo inverse). Stream semantics follow the .srl
+// format spec (see srla_tpu/format.py and SURVEY.md §2.1-2.2).
+//
+// Exposed via a C ABI for ctypes; one call decodes one block payload.
+
+#include <cstdint>
+#include <cstring>
+
+namespace {
+
+struct BitReader {
+    const uint8_t *p;
+    const uint8_t *end;
+    uint64_t stage;   // MSB-justified pending bits
+    int count;        // number of valid bits in stage (from MSB)
+
+    void init(const uint8_t *data, long size) {
+        p = data;
+        end = data + size;
+        stage = 0;
+        count = 0;
+    }
+    inline void refill() {
+        while (count <= 56 && p < end) {
+            stage |= (uint64_t)(*p++) << (56 - count);
+            count += 8;
+        }
+    }
+    inline uint32_t get(int nbits) {
+        if (nbits == 0) return 0;
+        if (count < nbits) refill();
+        uint32_t v = (uint32_t)(stage >> (64 - nbits));
+        stage <<= nbits;
+        count -= nbits;
+        return v;
+    }
+    inline uint32_t peek(int nbits) {
+        if (count < nbits) refill();
+        return (uint32_t)(stage >> (64 - nbits));
+    }
+    inline void drop(int nbits) {
+        stage <<= nbits;
+        count -= nbits;
+    }
+    // Count zeros up to the next 1 bit (consuming it).
+    inline uint32_t zero_run() {
+        uint32_t run = 0;
+        for (;;) {
+            if (count <= 0) {
+                refill();
+                if (count <= 0) return run;  // corrupt stream guard
+            }
+            if (stage == 0) {
+                run += count;
+                stage = 0;
+                count = 0;
+                continue;
+            }
+            int lead = __builtin_clzll(stage);
+            if (lead >= count) {
+                run += count;
+                stage = 0;
+                count = 0;
+                continue;
+            }
+            run += lead;
+            // lead+1 can be 64 (the terminating 1 is the last staged bit);
+            // a plain 64-bit shift would be UB (x86 shifts count mod 64).
+            count -= lead + 1;
+            stage = (lead >= 63) ? 0 : (stage << (lead + 1));
+            return run;
+        }
+    }
+    long bits_consumed(const uint8_t *base) const {
+        return (long)(p - base) * 8 - count;
+    }
+};
+
+inline int32_t unzigzag(uint32_t u) {
+    return (int32_t)(u >> 1) ^ -(int32_t)(u & 1);
+}
+
+inline int32_t sra(int32_t v, int s) { return v >> s; }
+
+void lpc_synthesize(int32_t *data, int n, const int32_t *coef, int order,
+                    int rshift) {
+    if (order == 0) return;
+    const int32_t half = (rshift > 0) ? (int32_t)(1u << (rshift - 1))
+                                      : (int32_t)0x80000000u;
+    for (int s = 1; s < order && s < n; s++) data[s] += data[s - 1];
+    for (int s = 0; s + order < n; s++) {
+        int32_t acc = half;
+        for (int i = 0; i < order; i++)
+            acc += (int32_t)((uint32_t)coef[i] * (uint32_t)data[s + i]);
+        data[s + order] -= sra(acc, rshift);
+    }
+}
+
+void ltp_synthesize(int32_t *data, int n, const int32_t *coef, int order,
+                    int period, int rshift) {
+    if (order == 0 || period == 0) return;
+    const int32_t half = 1 << (rshift - 1);
+    const int delay = period + (order >> 1);
+    for (int s = delay + 1; s < n; s++) {
+        int32_t acc = half;
+        for (int i = 0; i < order; i++)
+            acc += (int32_t)((uint32_t)coef[i] * (uint32_t)data[s - delay + i]);
+        data[s] += sra(acc, rshift);
+    }
+}
+
+void deemphasis(int32_t *data, int n, int32_t coef, int32_t prev) {
+    int32_t y = prev;
+    for (int s = 0; s < n; s++) {
+        y = data[s] + sra((int32_t)((uint32_t)y * (uint32_t)coef), 4);
+        data[s] = y;
+    }
+}
+
+int rice_decode_channel(BitReader &br, int32_t *out, int n) {  // rc codes
+    uint32_t code_type = br.get(2);
+    if (code_type == 2) {  // ALLZERO
+        memset(out, 0, sizeof(int32_t) * n);
+        return 0;
+    }
+    if (code_type > 2) return -30;
+    uint32_t porder = br.get(10);
+    int nparts = 1 << porder;
+    if (nparts > n || n % nparts) return -40 - (int)porder;
+    int nsmpl = n / nparts;
+    int32_t k = 0;
+    for (int part = 0; part < nparts; part++) {
+        if (part == 0) {
+            k = (int32_t)br.get(5);
+        } else {
+            k += unzigzag(br.zero_run());
+        }
+        if (k < 0 || k > 31) return -100 - part;
+        int32_t *dst = out + (long)part * nsmpl;
+        if (code_type == 1) {  // recursive Rice: k1 = k+1, k2 = k
+            for (int i = 0; i < nsmpl; i++) {
+                uint32_t quot = br.zero_run();
+                uint32_t uval;
+                if (quot == 0) {
+                    uval = br.get(k + 1);
+                } else {
+                    uval = br.get(k) | ((quot + 1) << k);
+                }
+                dst[i] = unzigzag(uval);
+            }
+        } else {  // plain Rice
+            for (int i = 0; i < nsmpl; i++) {
+                uint32_t quot = br.zero_run();
+                uint32_t uval = (quot << k) + br.get(k);
+                dst[i] = unzigzag(uval);
+            }
+        }
+    }
+    return 0;
+}
+
+}  // namespace
+
+extern "C" {
+
+// Decode one COMPRESS block payload into out (num_channels x num_samples,
+// row-major). Returns consumed payload bytes, or -1 on malformed data.
+long srla_decode_block(
+    const uint8_t *payload, long payload_size,
+    int num_channels, int bits_per_sample, int num_samples, int offset_lshift,
+    const int16_t *plut_sym, const uint8_t *plut_len, int plut_bits,
+    const int16_t *slut_sym, const uint8_t *slut_len, int slut_bits,
+    int32_t *out) {
+    BitReader br;
+    br.init(payload, payload_size);
+
+    const int C = num_channels;
+    const int n = num_samples;
+    uint32_t method = br.get(2);
+    if (method > 3) return -1;
+
+    int32_t pre_prev[16], pre_coef[16];
+    int32_t orders[16], rshifts[16];
+    int32_t coefs[16][256];
+    int32_t ltp_orders[16], ltp_periods[16], ltp_coefs[16][8];
+    if (C > 16) return -1;
+
+    for (int c = 0; c < C; c++) {
+        pre_prev[c] = unzigzag(br.get(bits_per_sample + 1));
+        pre_coef[c] = unzigzag(br.get(5));
+    }
+    for (int c = 0; c < C; c++) {
+        orders[c] = (int32_t)br.get(8);
+        rshifts[c] = (int32_t)br.get(4);
+        uint32_t use_sum = br.get(1);
+        int o = orders[c];
+        for (int i = 0; i < o; i++) {
+            const int16_t *sym = (i == 0 || !use_sum) ? plut_sym : slut_sym;
+            const uint8_t *len = (i == 0 || !use_sum) ? plut_len : slut_len;
+            int kbits = (i == 0 || !use_sum) ? plut_bits : slut_bits;
+            uint32_t peeked = br.peek(kbits);
+            int16_t s = sym[peeked];
+            uint8_t l = len[peeked];
+            if (l == 0) return -1;
+            br.drop(l);
+            int32_t v = unzigzag((uint32_t)s);
+            coefs[c][i] = (i == 0 || !use_sum) ? v : v - coefs[c][i - 1];
+        }
+    }
+    for (int c = 0; c < C; c++) {
+        ltp_periods[c] = 0;
+        ltp_orders[c] = 0;
+        if (br.get(1)) {
+            ltp_orders[c] = 2 * (int32_t)br.get(1) + 1;
+            ltp_periods[c] = (int32_t)br.get(8) + 8;
+            for (int i = 0; i < ltp_orders[c]; i++)
+                ltp_coefs[c][i] = unzigzag(br.get(6));
+        }
+    }
+    for (int c = 0; c < C; c++) {
+        int rc = rice_decode_channel(br, out + (long)c * n, n);
+        if (rc != 0) return rc;
+    }
+    long consumed = (br.bits_consumed(payload) + 7) / 8;
+
+    for (int c = 0; c < C; c++) {
+        int32_t *buf = out + (long)c * n;
+        lpc_synthesize(buf, n, coefs[c], orders[c], rshifts[c]);
+        ltp_synthesize(buf, n, ltp_coefs[c], ltp_orders[c], ltp_periods[c], 5);
+        deemphasis(buf, n, pre_coef[c], pre_prev[c]);
+    }
+    if (method == 1 && C >= 2) {        // MS -> LR
+        int32_t *l = out, *r = out + n;
+        for (int s = 0; s < n; s++) {
+            l[s] -= sra(r[s], 1);
+            r[s] += l[s];
+        }
+    } else if (method == 2 && C >= 2) { // LS -> LR
+        int32_t *l = out, *r = out + n;
+        for (int s = 0; s < n; s++) r[s] += l[s];
+    } else if (method == 3 && C >= 2) { // SR -> LR
+        int32_t *l = out, *r = out + n;
+        for (int s = 0; s < n; s++) l[s] = r[s] - l[s];
+    }
+    if (offset_lshift > 0) {
+        for (long i = 0; i < (long)C * n; i++)
+            out[i] = (int32_t)((uint32_t)out[i] << offset_lshift);
+    }
+    return consumed;
+}
+
+// Standalone residual decoder (one channel) for partial/streaming use.
+long srla_rice_decode(const uint8_t *payload, long payload_size,
+                      long start_bit, int num_samples, int32_t *out) {
+    BitReader br;
+    br.init(payload + start_bit / 8, payload_size - start_bit / 8);
+    int skew = (int)(start_bit % 8);
+    if (skew) br.get(skew);
+    if (rice_decode_channel(br, out, num_samples) != 0) return -1;
+    return start_bit - skew + br.bits_consumed(payload + start_bit / 8);
+}
+
+}  // extern "C"
+
+extern "C" {
+// Debug helper: parse the parameter section, return bit position (or -code).
+long srla_debug_params(const uint8_t *payload, long payload_size,
+                       int num_channels, int bits_per_sample,
+                       const int16_t *plut_sym, const uint8_t *plut_len,
+                       int plut_bits,
+                       const int16_t *slut_sym, const uint8_t *slut_len,
+                       int slut_bits) {
+    BitReader br;
+    br.init(payload, payload_size);
+    const int C = num_channels;
+    uint32_t method = br.get(2);
+    if (method > 3) return -2;
+    int32_t coefs[16][256];
+    for (int c = 0; c < C; c++) { br.get(bits_per_sample + 1); br.get(5); }
+    for (int c = 0; c < C; c++) {
+        int o = (int)br.get(8);
+        br.get(4);
+        uint32_t use_sum = br.get(1);
+        for (int i = 0; i < o; i++) {
+            const int16_t *sym = (i == 0 || !use_sum) ? plut_sym : slut_sym;
+            const uint8_t *len = (i == 0 || !use_sum) ? plut_len : slut_len;
+            int kbits = (i == 0 || !use_sum) ? plut_bits : slut_bits;
+            uint32_t peeked = br.peek(kbits);
+            uint8_t l = len[peeked];
+            if (l == 0) return -3;
+            br.drop(l);
+            (void)sym;
+        }
+    }
+    for (int c = 0; c < C; c++) {
+        if (br.get(1)) { br.get(1); br.get(8); for (int i = 0; i < 3; i++) br.get(6); }
+    }
+    return br.bits_consumed(payload);
+}
+}

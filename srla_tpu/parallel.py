@@ -1,0 +1,69 @@
+"""Multi-chip scaling: shard the block axis over a device mesh.
+
+The codec's natural parallel dimension is blocks (they are fully independent
+in the stream format — SURVEY §5), so data parallelism over ICI is a 1-D mesh
+with the variant/block axis sharded. Collectives only appear for corpus-level
+reductions (total bits), which XLA lowers to an all-reduce over the mesh.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+
+def make_mesh(n_devices: int | None = None) -> Mesh:
+    devs = jax.devices()
+    if n_devices is not None:
+        devs = devs[:n_devices]
+    return Mesh(np.array(devs), axis_names=("blocks",))
+
+
+def analyze_variants_sharded(mesh: Mesh, sig: np.ndarray, *, n: int, bps: int,
+                             max_params: int, max_fixed: bool, fft_size: int,
+                             max_porder: int):
+    """Block-sharded version of kernels.encode.analyze_variants.
+
+    sig: (V, n) with V divisible by the mesh size. Every stage is elementwise
+    over the block axis, so the only communication is the final corpus-bits
+    all-reduce; outputs stay sharded until fetched.
+    """
+    from .kernels.encode import analyze_variants
+    spec = NamedSharding(mesh, P("blocks", None))
+    sig = jax.device_put(sig, spec)
+    out = analyze_variants(sig, n=n, bps=bps, max_params=max_params,
+                           max_fixed=max_fixed, fft_size=fft_size,
+                           max_porder=max_porder)
+    return out
+
+
+@partial(jax.jit, static_argnames=("n", "bps", "max_params", "max_fixed",
+                                   "fft_size", "max_porder"))
+def _train_style_step(sig, *, n, bps, max_params, max_fixed, fft_size,
+                      max_porder):
+    """One 'step': full analysis + corpus-level reduction (collective)."""
+    from .kernels.encode import analyze_variants
+    out = analyze_variants(sig, n=n, bps=bps, max_params=max_params,
+                           max_fixed=max_fixed, fft_size=fft_size,
+                           max_porder=max_porder)
+    total_bits = jnp.sum(out["rice_bits"].astype(jnp.float32))
+    return out, total_bits
+
+
+def full_step_sharded(mesh: Mesh, sig: np.ndarray, *, n: int, bps: int = 16,
+                      max_params: int = 32, max_fixed: bool = False,
+                      fft_size: int | None = None, max_porder: int = 6):
+    """Jit the full analysis step over the mesh and run it once."""
+    if fft_size is None:
+        fft_size = 1 << (n - 1).bit_length()
+    spec = NamedSharding(mesh, P("blocks", None))
+    sig = jax.device_put(np.asarray(sig, np.int32), spec)
+    out, total = _train_style_step(sig, n=n, bps=bps, max_params=max_params,
+                                   max_fixed=max_fixed, fft_size=fft_size,
+                                   max_porder=max_porder)
+    jax.block_until_ready(total)
+    return out, float(total)

@@ -1,0 +1,69 @@
+"""Device bit-packing kernels vs the host emitter (CPU backend / interpret)."""
+
+import numpy as np
+import pytest
+
+from srla_tpu import rice
+from srla_tpu.bitio import BitWriter
+
+
+def _cases(n):
+    rng = np.random.RandomState(0)
+    return np.stack([
+        rng.randint(-3000, 3000, size=n),
+        rng.randint(-2, 2, size=n),
+        np.zeros(n, dtype=int),
+        (rng.randn(n) * np.where(np.arange(n) < n // 2, 5, 2000)).astype(int),
+        rng.randint(-30000, 30000, size=n),
+        rng.randint(-8_000_000, 8_000_000, size=n),
+    ]).astype(np.int32)
+
+
+def test_device_pack_matches_host_emitter():
+    import jax.numpy as jnp
+
+    from srla_tpu.kernels.bitpack import pack_residual_sections
+    n = 4096
+    res = _cases(n)
+    ct, po, bits, ks, uvals = rice.analyze_batch(res, n)
+    W = 4096 * 30 // 32
+    words, total = pack_residual_sections(
+        jnp.asarray(uvals.astype(np.uint32)), jnp.asarray(ct),
+        jnp.asarray(po), jnp.asarray(ks.astype(np.int32)), n, W)
+    words = np.asarray(words)
+    total = np.asarray(total)
+    for v in range(res.shape[0]):
+        w = BitWriter()
+        rice.emit_channel(w, uvals[v], n, int(ct[v]), int(po[v]), ks[v])
+        ref = w.getvalue()
+        assert int(total[v]) == w.tell_bits()
+        assert words[v].astype(">u4").tobytes()[:len(ref)] == ref
+
+
+def test_pallas_pack_interpret_matches_reference():
+    from srla_tpu.kernels.pallas_pack import pallas_pack_rows
+    rng = np.random.RandomState(1)
+    V, T, W = 8, 512, 700
+    tbits = rng.randint(1, 33, size=(V, T)).astype(np.int32)
+    tbits[:, 500:] = 0
+    lead = rng.randint(0, 5, size=(V, T))
+    offs = (np.cumsum(np.where(tbits > 0, tbits + lead, 0), axis=1)
+            - tbits).astype(np.int32)
+    offs = np.maximum(offs, 0)
+    tails = ((rng.randint(0, 2 ** 31, size=(V, T)).astype(np.uint64)
+              & ((1 << np.maximum(tbits, 1).astype(np.uint64)) - 1))
+             | (1 << np.maximum(tbits - 1, 0).astype(np.uint64))
+             ).astype(np.uint32)
+    words, ovf = pallas_pack_rows(offs, tails, tbits, W)
+    words = np.asarray(words)
+    assert not np.asarray(ovf).any()
+    for v in range(V):
+        bits = np.zeros((W + 700) * 32, dtype=np.uint8)
+        for t in range(T):
+            o, tb, tl = int(offs[v, t]), int(tbits[v, t]), int(tails[v, t])
+            for b in range(tb):
+                bits[o + b] |= (tl >> (tb - 1 - b)) & 1
+        ref = np.array([int.from_bytes(
+            np.packbits(bits[i * 32:(i + 1) * 32]).tobytes(), "big")
+            for i in range(W)], dtype=np.uint64)
+        assert (words[v] == ref.astype(np.uint32)).all()
