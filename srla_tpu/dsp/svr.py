@@ -4,6 +4,11 @@ Per margin in the preset list: iterate residual -> soft threshold -> solve for
 a coefficient delta via a cached Cholesky factorization of the (ridged) signal
 covariance; keep the coefficients minimizing the estimated recursive-Rice code
 length. (Parity: libs/lpc/src/lpc.c:988-1163.)
+
+Exactness strategy: per-sample residuals are independent given the
+coefficients, so the residual filter vectorizes over samples with the same
+per-element op order as the reference; the order-sensitive f64 accumulations
+(covariance, r-vector, mean-abs) stay sample-sequential.
 """
 
 from __future__ import annotations
@@ -17,43 +22,41 @@ from .pitch import cholesky_decompose, cholesky_solve
 _FLT_MAX = 3.402823466e38
 _OBJ_EPSILON = 1e-8
 _SVR_BPS = 16  # the reference estimator hardcodes 16-bit (lpc.c:1041)
+_INV_LOGE2 = 1.4426950408889634
 
 
 def _rgr_mean_code_length(mean_abs_error: float, bps: int) -> float:
     intmean = mean_abs_error * (1 << bps)
     rho = 1.0 / (1.0 + intmean)
-    lv = math.log(0.5127629514) / math.log(1.0 - rho)
-    k2f = (math.log(lv) * 1.4426950408889634) if lv > 0 else -math.inf
-    k2 = int(max(0.0, k2f))
+    om = 1.0 - rho
+    denom = -math.inf if om == 0.0 else math.log(om)
+    lv = math.log(0.5127629514) / denom
+    log2v = (-math.inf if lv == 0.0 else math.log(lv)) * _INV_LOGE2
+    k2 = int(max(0.0, log2v))
     k1 = k2 + 1
     k1f = math.pow(1.0 - rho, float(1 << k1))
-    k2f2 = math.pow(1.0 - rho, float(1 << k2))
-    return (1.0 + k1) * (1.0 - k1f) + (1.0 + k2 + (1.0 / (1.0 - k2f2))) * k1f
+    k2f = math.pow(1.0 - rho, float(1 << k2))
+    return (1.0 + k1) * (1.0 - k1f) + (1.0 + k2 + (1.0 / (1.0 - k2f))) * k1f
 
 
-def _soft_threshold(x: np.ndarray, eps: float) -> np.ndarray:
-    return np.sign(x) * np.maximum(np.abs(x) - eps, 0.0)
+def _covariance(data: np.ndarray, n: int, dim: int) -> np.ndarray:
+    """cov[i][j] = sum_{s < n-dim} data[s+i]*data[s+j], sample-sequential."""
+    cov = np.zeros((dim, dim))
+    iu = np.triu_indices(dim)
+    acc = np.zeros(len(iu[0]))
+    for s in range(n - dim):
+        win = data[s:s + dim]
+        acc += win[iu[0]] * win[iu[1]]
+    cov[iu] = acc
+    cov.T[iu] = acc
+    return cov
 
 
 def svr_refine_one(data: np.ndarray, coef: np.ndarray, order: int, n: int,
                    max_iter: int, ridge: float, margins) -> np.ndarray:
-    """Refine one block's coefficient vector (f64, order-sensitive sums are
-    sequential where the reference is; covariance uses the exact-in-f64 int
-    trick only when inputs are integers, which they are not here, so this is a
-    scalar-sequential port kept for bit parity)."""
     if max_iter == 0 or order == 0:
         return coef
-    cov = np.zeros((order, order))
-    # Covariance over windows [smpl .. smpl+order-1], smpl < n - order.
-    for i in range(order):
-        for j in range(i, order):
-            s = 0.0
-            for smpl in range(n - order):
-                s += data[smpl + i] * data[smpl + j]
-            cov[i, j] = s
-    for i in range(order):
-        for j in range(i + 1, order):
-            cov[j, i] = cov[i, j]
+    cov = _covariance(data[:n], n, order)
     for i in range(order):
         cov[i, i] *= (1.0 + ridge)
     low = cholesky_decompose(cov, order)
@@ -63,26 +66,28 @@ def svr_refine_one(data: np.ndarray, coef: np.ndarray, order: int, n: int,
     best = init.copy()
     cur = coef.copy()
     min_obj = _FLT_MAX
+    d = data[:n]
     for margin in margins:
         prev_obj = _FLT_MAX
         cur[:] = init
         for _ in range(max_iter):
-            resid = data[:n].copy()
+            # residual[s] = d[s] + sum_i cur[i]*d[s-i-1]; per-sample
+            # independent, so vectorize over s with the C per-element order.
+            resid = d.copy()
+            for i in range(order):
+                resid[order:] = resid[order:] + cur[i] * d[order - i - 1:
+                                                           n - i - 1]
             mabse = 0.0
+            for s in range(order, n):
+                mabse += abs(resid[s])
+            th = resid[order:]
+            sgn = np.sign(th)
+            th = sgn * np.maximum(np.abs(th) - margin, 0.0)
+            # r_vec[i] accumulates sample-sequentially in the reference.
             rvec = np.zeros(order)
-            for smpl in range(order, n):
-                acc = resid[smpl]
-                for i in range(order):
-                    acc += cur[i] * data[smpl - i - 1]
-                resid[smpl] = acc
-                mabse += abs(acc)
-                th = acc
-                sgn = (th > 0) - (th < 0)
-                mag = abs(th) - margin
-                th = sgn * (mag if mag > 0.0 else 0.0)
-                resid[smpl] = th
-                for i in range(order):
-                    rvec[i] += th * data[smpl - i - 1]
+            rev = d[::-1]
+            for s in range(order, n):
+                rvec += th[s - order] * rev[n - s:n - s + order]
             obj = _rgr_mean_code_length(mabse / n, _SVR_BPS)
             delta = cholesky_solve(cov, order, rvec, low)
             if obj < min_obj:

@@ -82,6 +82,14 @@ def test_partial_tail_block():
     assert encode(pcm, 16, 44100, preset=2) == ref
 
 
+def test_svr_refinement():
+    pcm = signals.gaussian_noise(16384, 2, 16)
+    for it in (1, 3):
+        ref = ref_encode(pcm, 16, 44100, preset=2, svr=it)
+        mine = encode(pcm, 16, 44100, preset=2, svr_iterations=it)
+        assert mine == ref, f"svr iterations={it} mismatch"
+
+
 def test_many_presets_one_signal():
     pcm = signals.gaussian_noise(16384, 2, 16)
     for preset in range(7):
