@@ -14,8 +14,12 @@ import numpy as np
 from .fft import real_fft, round_up_pow2
 
 
-def autocorr_fft(windowed: np.ndarray, num_samples: int, order: int) -> np.ndarray:
-    """windowed: (B, num_samples) float64. Returns (B, order) autocorrelation."""
+def autocorr_fft(windowed: np.ndarray, num_samples: int, order: int,
+                 want_raw: bool = False):
+    """windowed: (B, num_samples) float64. Returns (B, order) autocorrelation,
+    plus the raw (unscaled) IFFT buffer when want_raw — callers that emulate
+    the reference's persistent work buffer need it (odd-length blocks leave
+    one window sample unwritten; see encoder stale-state emulation)."""
     fft_size = round_up_pow2(num_samples)
     B = windowed.shape[0]
     buf = np.zeros((B, fft_size))
@@ -31,4 +35,12 @@ def autocorr_fft(windowed: np.ndarray, num_samples: int, order: int) -> np.ndarr
     out[:, 3::2] = 0.0
     out = real_fft(out, 1)
     norm = 2.0 / num_samples
-    return out[:, :order] * norm
+    ac = out[:, :order] * norm if order <= fft_size else None
+    if ac is None:
+        # order exceeds the FFT buffer: the reference reads stale buffer
+        # content beyond fft_size; callers patch those lags from their state.
+        ac = np.zeros((B, order))
+        ac[:, :fft_size] = out * norm
+    if want_raw:
+        return ac, out
+    return ac

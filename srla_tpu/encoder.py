@@ -119,10 +119,17 @@ class SRLAEncoder:
     # Per-channel analysis pipeline (batched over blocks of equal length) #
     # ------------------------------------------------------------------ #
 
-    def _analyze_channel(self, sig: np.ndarray, n: int) -> _ChannelParams:
+    def _analyze_channel(self, sig: np.ndarray, n: int, stale_state=None,
+                         want_state: bool = False):
+        """Batched per-channel analysis. `stale_state` emulates the
+        reference's persistent LPC work buffer (needed for bit-exactness of
+        odd-length blocks, whose Welch window leaves the middle sample
+        unwritten); serial callers (B=1) thread it between variants and get
+        the new state back when `want_state` is set."""
         B = sig.shape[0]
         bps = self.p.bits_per_sample
         max_params = self.preset.max_num_parameters
+        state = stale_state
 
         # 1. Pre-emphasis: coefficient, then in-place filter with prev = head.
         pre_coef = preemph.calculate_coefficient(sig, n)
@@ -139,12 +146,22 @@ class SRLAEncoder:
             win = welch_window(n)
             windowed = dbl * win
             if n & 1:
-                windowed[:, n // 2] = 0.0  # stale-buffer slot; see TODO
+                windowed[:, n // 2] = (0.0 if state is None
+                                       else state[n // 2])
             max_lag = LTP_MAX_PERIOD + 1
-            ac_len = min(max_lag, round_up_pow2(n))
-            ac = autocorr_fft(windowed, n, ac_len)
+            ac, raw = autocorr_fft(windowed, n, max_lag, want_raw=True)
+            fft_size = round_up_pow2(n)
+            if max_lag > fft_size and state is not None:
+                # The reference reads stale buffer content for lags beyond
+                # the FFT size (tiny tail blocks with LTP enabled).
+                ac[:, fft_size:] = state[fft_size:max_lag] * (2.0 / n)
+            if want_state:
+                ns = state.copy() if state is not None else np.zeros(
+                    max(len(raw[0]), n))
+                ns[:raw.shape[1]] = raw[0]
+                state = ns
             acbuf = np.zeros((B, LTP_MAX_PERIOD + 3))
-            acbuf[:, :ac_len] = ac
+            acbuf[:, :max_lag] = ac
             for b in range(B):
                 coef, period = calculate_ltp_coefficients(
                     acbuf[b], ltp_order, LTP_MIN_PERIOD, LTP_MAX_PERIOD,
@@ -170,8 +187,14 @@ class SRLAEncoder:
             win = welch_window(n)
             windowed = dbl * win
             if n & 1:
-                windowed[:, n // 2] = 0.0  # TODO stale-buffer emulation
-            ac = autocorr_fft(windowed, n, max_params + 1)
+                windowed[:, n // 2] = (0.0 if state is None
+                                       else state[n // 2])
+            if want_state:
+                ac, raw = autocorr_fft(windowed, n, max_params + 1,
+                                       want_raw=True)
+                state = raw[0]
+            else:
+                ac = autocorr_fft(windowed, n, max_params + 1)
             ac[:, 0] = ac[:, 0] * (1.0 + LPC_RIDGE_REGULARIZATION_PARAMETER)
             error_vars, _ = levinson_error_vars(ac, max_params)
             # Window energy correction (applied before order selection).
@@ -202,10 +225,13 @@ class SRLAEncoder:
             residual[:, :n], n)
         code_length, use_sum = self._account_bits(
             rice_bits, orders, int_coefs, ltp_period, ltp_order)
-        return _ChannelParams(head.astype(np.int32), pre_coef, orders, rshifts,
-                              int_coefs, use_sum, ltp_period, ltp_coefs,
-                              residual, code_length, rice_type, rice_porder,
-                              rice_ks)
+        params = _ChannelParams(head.astype(np.int32), pre_coef, orders,
+                                rshifts, int_coefs, use_sum, ltp_period,
+                                ltp_coefs, residual, code_length, rice_type,
+                                rice_porder, rice_ks)
+        if want_state:
+            return params, state
+        return params
 
     def _account_bits(self, rice_bits, orders, int_coefs, ltp_period,
                       ltp_order):
@@ -299,7 +325,7 @@ class SRLAEncoder:
                                 self.preset.margin_list)
 
     def _compute_coefficients(self, blocks: np.ndarray, n: int,
-                              offset_lshift: int):
+                              offset_lshift: int, stale_state=None):
         """blocks: (B, C, n) int32 raw samples. Returns (method (B,),
         params per output channel list[C] of _ChannelParams, bits (B,))."""
         B, C, _ = blocks.shape
@@ -314,10 +340,24 @@ class SRLAEncoder:
             m = (work[:, 0] + (s >> 1)).astype(np.int32)
             variants.extend([m, s])
         variants.extend(work[:, c] for c in range(C))
-        stack = np.ascontiguousarray(np.concatenate(variants, axis=0))
-        all_params = self._analyze_channel(stack, n)
-        split = [_slice_params(all_params, i * B, (i + 1) * B)
-                 for i in range(len(variants))]
+        if stale_state is not None:
+            # Serial (B=1) flow threading the reference's persistent LPC
+            # work-buffer state between channel variants (odd-length blocks).
+            assert B == 1
+            split = []
+            state = stale_state
+            for v in variants:
+                params, raw = self._analyze_channel(v, n, stale_state=state,
+                                                    want_state=True)
+                if raw is not None:
+                    state = state.copy()
+                    state[:len(raw)] = raw
+                split.append(params)
+        else:
+            stack = np.ascontiguousarray(np.concatenate(variants, axis=0))
+            all_params = self._analyze_channel(stack, n)
+            split = [_slice_params(all_params, i * B, (i + 1) * B)
+                     for i in range(len(variants))]
         if C >= 2:
             ms_params = split[:2]
             ch_params = split[2:]
@@ -469,25 +509,33 @@ class SRLAEncoder:
         for size, idxs in by_size.items():
             # Large equal-size groups go through the device pipeline
             # (analysis + residual packing on TPU); small groups stay host.
-            if self.backend == "tpu" and len(idxs) * max(C, 2) >= 8:
+            if self.backend == "tpu" and len(idxs) * max(C, 2) >= 8 \
+                    and size % 2 == 0:
                 results.update(self._encode_group_device(
                     pcm, spans, idxs, size, offset_lshift))
+                continue
+            if size % 2 == 1:
+                # Odd-length blocks: the reference's Welch window leaves the
+                # middle sample holding stale work-buffer content — emulate
+                # the buffer state chain serially per block.
+                for i in idxs:
+                    state = self._incoming_state(pcm, spans, types, i,
+                                                 offset_lshift)
+                    blocks = pcm[:, spans[i][0]:spans[i][0] + size][None]
+                    method, params, _bits = self._compute_coefficients(
+                        blocks.astype(np.int32), size, offset_lshift,
+                        stale_state=state)
+                    results[i] = self._finish_block(pcm, spans, i, size,
+                                                    params, int(method[0]),
+                                                    0, C)
                 continue
             blocks = np.stack([pcm[:, spans[i][0]:spans[i][0] + size]
                                for i in idxs])
             method, params, _bits = self._compute_coefficients(
                 blocks.astype(np.int32), size, offset_lshift)
             for bi, i in enumerate(idxs):
-                payload = self._compress_payload(params, int(method[bi]),
-                                                 size, bi, C)
-                raw_bits = self.p.bits_per_sample * size * C
-                if 8 * len(payload) >= raw_bits:
-                    blk = pcm[:, spans[i][0]:spans[i][0] + size]
-                    payload = self._raw_payload(blk.astype(np.int32), size)
-                    results[i] = frame_block(BlockDataType.RAW, size, payload)
-                else:
-                    results[i] = frame_block(BlockDataType.COMPRESS, size,
-                                             payload)
+                results[i] = self._finish_block(pcm, spans, i, size, params,
+                                                int(method[bi]), bi, C)
         for i, (off, size) in enumerate(spans):
             if types[i] == BlockDataType.SILENT:
                 results[i] = frame_block(BlockDataType.SILENT, size, b"")
@@ -497,6 +545,40 @@ class SRLAEncoder:
                     BlockDataType.RAW, size,
                     self._raw_payload(blk.astype(np.int32), size))
         return [results[i] for i in range(len(spans))]
+
+    def _finish_block(self, pcm, spans, i, size, params, method_b, bi, C):
+        """Assemble a compress payload, applying the raw-size fallback."""
+        payload = self._compress_payload(params, method_b, size, bi, C)
+        raw_bits = self.p.bits_per_sample * size * C
+        if 8 * len(payload) >= raw_bits:
+            blk = pcm[:, spans[i][0]:spans[i][0] + size]
+            return frame_block(BlockDataType.RAW, size,
+                               self._raw_payload(blk.astype(np.int32), size))
+        return frame_block(BlockDataType.COMPRESS, size, payload)
+
+    def _incoming_state(self, pcm, spans, types, i, offset_lshift):
+        """LPC work-buffer contents entering span i: the raw IFFT buffer left
+        by the previous compress-analyzed span's last channel variant (fresh
+        arena memory — zeros — when there is none)."""
+        prev = None
+        for j in range(i - 1, -1, -1):
+            if types[j] == BlockDataType.COMPRESS:
+                prev = j
+                break
+        cap = round_up_pow2(self.p.max_num_samples_per_block)
+        state = np.zeros(cap)
+        if prev is None:
+            return state
+        off, size = spans[prev]
+        work = pcm[:, off:off + size].astype(np.int32)
+        if offset_lshift:
+            work = (work >> offset_lshift).astype(np.int32)
+        last = work[pcm.shape[0] - 1]
+        _, raw = self._analyze_channel(last[None, :size], size,
+                                       want_state=True)
+        if raw is not None:
+            state[:len(raw)] = raw
+        return state
 
     # -- device (TPU) group encode: on-device packing --------------------- #
 

@@ -82,6 +82,19 @@ def test_partial_tail_block():
     assert encode(pcm, 16, 44100, preset=2) == ref
 
 
+@pytest.mark.parametrize("n,ch,ltp", [
+    (4096 * 4 + 4095, 1, 0), (4096 * 4 + 2047, 2, 0), (4096 * 4 + 333, 2, 3),
+])
+def test_odd_tail_blocks(n, ch, ltp):
+    """Odd-length tails exercise the reference's stale work-buffer semantics
+    (the Welch window leaves the middle sample unwritten)."""
+    sig = "pitchy" if ltp else "gaussian_noise"
+    pcm = signals.ALL[sig](n, ch, 16)
+    ref = ref_encode(pcm, 16, 44100, preset=4, P=ltp)
+    mine = encode(pcm, 16, 44100, preset=4, ltp_order=ltp)
+    assert mine == ref
+
+
 def test_svr_refinement():
     pcm = signals.gaussian_noise(16384, 2, 16)
     for it in (1, 3):
