@@ -134,6 +134,29 @@ class SRLADecoder:
             uv = (uv << 8) | buf[:, :, i].astype(np.uint32)
         return uint32_to_sint32(uv).T.astype(np.int32).copy()
 
+    def decode_block(self, data: bytes, header: StreamHeader, offset: int = 0
+                     ) -> tuple[np.ndarray, int]:
+        """Decode one framed block at `offset`; returns (pcm (C, n), consumed
+        bytes). Parity: SRLADecoder_DecodeBlock (sync/size/checksum verify)."""
+        btype, nsamples, poff, psize = parse_block_header(
+            data, offset, self.check_checksum)
+        payload = data[poff:poff + psize]
+        C = header.num_channels
+        if btype == BlockDataType.SILENT:
+            pcm = np.zeros((C, nsamples), dtype=np.int32)
+        elif btype == BlockDataType.RAW:
+            pcm = self.decode_raw_block(payload, header, nsamples)
+        else:
+            if self._native is not None:
+                pcm = self._native.decode_block(payload, C,
+                                                header.bits_per_sample,
+                                                nsamples,
+                                                header.offset_lshift)
+            else:
+                bp = self.decode_block_params(payload, header, nsamples)
+                pcm = self.synthesize_block(bp, header, nsamples)
+        return pcm, (poff - offset) + psize
+
     def decode_whole(self, data: bytes) -> tuple[StreamHeader, np.ndarray]:
         header = decode_header(data)
         C, N = header.num_channels, header.num_samples

@@ -329,8 +329,7 @@ class SRLAEncoder:
         """blocks: (B, C, n) int32 raw samples. Returns (method (B,),
         params per output channel list[C] of _ChannelParams, bits (B,))."""
         B, C, _ = blocks.shape
-        work = (blocks >> offset_lshift).astype(np.int32) if offset_lshift \
-            else blocks.astype(np.int32)
+        work = _apply_lshift(blocks, offset_lshift)
 
         # Stack all channel variants ([M, S] + plain channels) into ONE
         # batched analysis call — on TPU this is a single device program.
@@ -460,6 +459,40 @@ class SRLAEncoder:
         for i in range(nbytes):
             out[:, :, i] = (uv >> (8 * (nbytes - 1 - i))).astype(np.uint8)
         return out.tobytes()
+
+    # -- block-level public API (parity: srla_encoder.h) ----------------- #
+
+    def encode_block(self, pcm_block: np.ndarray, offset_lshift: int = 0
+                     ) -> bytes:
+        """Encode one block (C, n) -> framed block bytes.
+
+        Parity: SRLAEncoder_EncodeBlock (type decision, compress/raw/silent,
+        raw fallback, checksum framing).
+        """
+        pcm_block = np.asarray(pcm_block, dtype=np.int32)
+        n = pcm_block.shape[1]
+        return self._encode_spans(pcm_block, [(0, n)], offset_lshift)[0]
+
+    def compute_block_size(self, pcm_block: np.ndarray,
+                           offset_lshift: int = 0) -> int:
+        """Byte size this block would encode to (SRLAEncoder_ComputeBlockSize)."""
+        pcm_block = np.asarray(pcm_block, dtype=np.int32)
+        n = pcm_block.shape[1]
+        return self._measure_blocks(pcm_block, [0], n, offset_lshift)[0]
+
+    def encode_optimal_partitioned_block(self, pcm_window: np.ndarray,
+                                         offset_lshift: int = 0) -> bytes:
+        """Optimal-partition encode of one lookahead window
+        (SRLAEncoder_EncodeOptimalPartitionedBlock)."""
+        pcm_window = np.asarray(pcm_window, dtype=np.int32)
+        span = pcm_window.shape[1]
+        parts = self._search_partitions(pcm_window, span, offset_lshift)
+        spans = []
+        off = 0
+        for size in parts:
+            spans.append((off, size))
+            off += size
+        return b"".join(self._encode_spans(pcm_window, spans, offset_lshift))
 
     def encode_whole(self, pcm: np.ndarray, progress_callback=None) -> bytes:
         """pcm: (C, N) int32. Returns the complete .srl stream."""
@@ -593,11 +626,10 @@ class SRLAEncoder:
             max_fixed=self.preset.lpc_order_tactics == OrderTactics.MAX_FIXED,
             fft_size=round_up_pow2(n), max_porder=max_porder)
 
-    def _variant_stack(self, blocks: np.ndarray, n: int, offset_lshift: int,
+    def _variant_stack(self, blocks: np.ndarray, n: int, offset_lshift,
                        pad_bucket: int = 0):
         B, C, _ = blocks.shape
-        work = (blocks >> offset_lshift).astype(np.int32) if offset_lshift \
-            else blocks.astype(np.int32)
+        work = _apply_lshift(blocks, offset_lshift)
         variants = []
         if C >= 2:
             s = (work[:, 1] - work[:, 0]).astype(np.int32)
@@ -626,8 +658,7 @@ class SRLAEncoder:
         C = pcm.shape[0]
         B = len(idxs)
         bps = self.p.bits_per_sample
-        blocks = np.stack([pcm[:, spans[i][0]:spans[i][0] + size]
-                           for i in idxs]).astype(np.int32)
+        blocks = _gather_blocks(pcm, spans, idxs, size)
         stack = self._variant_stack(blocks, size, offset_lshift,
                                     pad_bucket=512)
         W = (size * (bps + 4)) // 32 + 64
@@ -921,6 +952,31 @@ def _dijkstra(adj: np.ndarray, num_nodes: int, start: int, goal: int,
                 path[i] = target
         used[target] = True
     return path
+
+
+def _gather_blocks(pcm: np.ndarray, spans, idxs, size: int) -> np.ndarray:
+    """(B, C, n) int32 view/copy of the chosen spans; zero-copy reshape when
+    the spans are contiguous and equally spaced (the fixed-block common case).
+    """
+    offs = [spans[i][0] for i in idxs]
+    if len(offs) > 1 and all(offs[k + 1] - offs[k] == size
+                             for k in range(len(offs) - 1)):
+        lo = offs[0]
+        view = pcm[:, lo:lo + size * len(offs)]
+        if view.shape[1] == size * len(offs):
+            return np.swapaxes(view.reshape(pcm.shape[0], len(offs), size),
+                               0, 1)
+    return np.stack([pcm[:, o:o + size] for o in offs]).astype(np.int32)
+
+
+def _apply_lshift(blocks: np.ndarray, offset_lshift) -> np.ndarray:
+    """Strip common trailing-zero bits; scalar or per-block (B,) shifts."""
+    if np.ndim(offset_lshift) == 0:
+        if not offset_lshift:
+            return blocks.astype(np.int32)
+        return (blocks >> offset_lshift).astype(np.int32)
+    return (blocks >> np.asarray(offset_lshift, np.int32)[:, None, None]
+            ).astype(np.int32)
 
 
 def _compute_offset_lshift(pcm: np.ndarray) -> int:

@@ -36,8 +36,10 @@ def _plane_sum(word_ids: jnp.ndarray, values: jnp.ndarray, W: int):
     V = word_ids.shape[0]
     buf = jnp.zeros((V, W + 1), jnp.uint32)
     ids = jnp.minimum(word_ids, W)
-    buf = buf.at[jnp.arange(V)[:, None], ids].add(
-        values, indices_are_sorted=True)
+    # NOTE: do NOT pass indices_are_sorted=True — the XLA:TPU sorted-scatter
+    # path produces wrong results for batch sizes above ~3k rows (observed on
+    # v5e); the plain scatter is correct at all sizes.
+    buf = buf.at[jnp.arange(V)[:, None], ids].add(values)
     return buf[:, :W]
 
 
