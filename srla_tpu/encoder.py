@@ -630,20 +630,22 @@ class SRLAEncoder:
                        pad_bucket: int = 0):
         B, C, _ = blocks.shape
         work = _apply_lshift(blocks, offset_lshift)
-        variants = []
+        nvar = C + (2 if C >= 2 else 0)
+        V = nvar * B
+        # Pad the batch axis to a bucket size so device programs are compiled
+        # once per bucket, not once per file length.
+        Vp = ((V + pad_bucket - 1) // pad_bucket) * pad_bucket if pad_bucket \
+            else V
+        stack = np.zeros((Vp, n), dtype=np.int32)
+        pos = 0
         if C >= 2:
             s = (work[:, 1] - work[:, 0]).astype(np.int32)
-            m = (work[:, 0] + (s >> 1)).astype(np.int32)
-            variants.extend([m, s])
-        variants.extend(work[:, c] for c in range(C))
-        stack = np.ascontiguousarray(np.concatenate(variants, axis=0))
-        if pad_bucket:
-            # Pad the batch axis to a bucket size so device programs are
-            # compiled once per bucket, not once per file length.
-            V = stack.shape[0]
-            Vp = ((V + pad_bucket - 1) // pad_bucket) * pad_bucket
-            if Vp != V:
-                stack = np.pad(stack, ((0, Vp - V), (0, 0)))
+            stack[0:B] = work[:, 0] + (s >> 1)
+            stack[B:2 * B] = s
+            pos = 2 * B
+        for c in range(C):
+            stack[pos:pos + B] = work[:, c]
+            pos += B
         return stack
 
     def _encode_group_device(self, pcm: np.ndarray, spans, idxs, size: int,
@@ -653,29 +655,34 @@ class SRLAEncoder:
         sections cross the (slow) device->host link."""
         import jax
 
-        from .kernels.encode import analyze_pack_variants, gather_sections
+        from .kernels.encode import analyze_blocks_ex, pack_chosen
 
         C = pcm.shape[0]
         B = len(idxs)
         bps = self.p.bits_per_sample
         blocks = _gather_blocks(pcm, spans, idxs, size)
-        stack = self._variant_stack(blocks, size, offset_lshift,
-                                    pad_bucket=512)
+        # Pad the block axis to a bucket so device programs compile once per
+        # bucket; variants are constructed ON DEVICE (halves the upload).
+        Bp = ((B + 127) // 128) * 128
+        if Bp != B:
+            padded = np.zeros((Bp, C, size), np.int32)
+            padded[:B] = blocks
+            blocks = padded
         W = (size * (bps + 4)) // 32 + 64
-        small, words = analyze_pack_variants(stack, W=W,
-                                             **self._device_args(size))
+        small, big = analyze_blocks_ex(
+            np.ascontiguousarray(blocks, dtype=np.int32),
+            np.int32(offset_lshift), C=C, **self._device_args(size))
         small = jax.device_get(small)
         sec_bits = small["section_bits"].astype(np.int64)
         orders = small["orders"]
         maxp = max(self.preset.max_num_parameters, 1)
         coefs = small["coefs"][:, :maxp]
-        nvar = stack.shape[0] // B
         code_len, use_sum = self._account_bits(
-            sec_bits, orders, coefs, np.zeros(stack.shape[0], np.int32), 0)
+            sec_bits, orders, coefs, np.zeros(len(orders), np.int32), 0)
 
         # Stereo method selection (same argmin as the host path).
         def cl(vix):
-            return code_len[vix * B:(vix + 1) * B]
+            return code_len[vix * Bp:vix * Bp + B]
         if C == 1:
             method = np.zeros(B, dtype=np.int32)
             bits = cl(0).copy()
@@ -699,7 +706,7 @@ class SRLAEncoder:
                 vix = 1
             else:
                 vix = 2 + c
-            return vix * B + bi
+            return vix * Bp + bi
 
         raw_bits = bps * size * C
         compress_idx = [bi for bi in range(B) if int(bits[bi]) < raw_bits]
@@ -716,17 +723,21 @@ class SRLAEncoder:
             results[i] = sub[0]
         compress_idx = safe
 
-        # Compact + fetch the chosen packed sections (one transfer).
+        # Pack ONLY the chosen rows on device, compacted, one transfer.
         chosen_rows = [row_of(bi, c) for bi in compress_idx for c in range(C)]
         if chosen_rows:
-            lens_w = np.array([(int(sec_bits[r]) + 31) // 32
-                               for r in chosen_rows], dtype=np.int32)
-            starts = np.concatenate([[0], np.cumsum(lens_w)[:-1]]).astype(
-                np.int32)
+            K = len(chosen_rows)
+            Kp = ((K + 255) // 256) * 256
+            rows = np.zeros(Kp, dtype=np.int32)
+            rows[:K] = chosen_rows
+            lens_w = np.zeros(Kp, dtype=np.int32)
+            lens_w[:K] = [(int(sec_bits[r]) + 31) // 32 for r in chosen_rows]
+            starts = (np.cumsum(lens_w) - lens_w).astype(np.int32)
             total = int(lens_w.sum())
             cap = ((total + 65535) // 65536) * 65536
-            flat = gather_sections(words, np.asarray(chosen_rows, np.int32),
-                                   starts, lens_w, cap)
+            flat = pack_chosen(big["u"], big["code_type"], big["porder"],
+                               big["ks"], rows, starts, lens_w,
+                               n=size, W=W, cap=cap)
             flat = np.asarray(jax.device_get(flat)).astype(">u4")
             flat_bytes = flat.tobytes()
 

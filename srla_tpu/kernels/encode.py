@@ -310,7 +310,7 @@ def analyze_variants(sig: jnp.ndarray, *, n: int, bps: int, max_params: int,
 def analyze_pack_variants(sig: jnp.ndarray, *, n: int, bps: int,
                           max_params: int, max_fixed: bool, fft_size: int,
                           max_porder: int, W: int):
-    """Analysis + on-device residual-section packing.
+    """Analysis + on-device residual-section packing (all variants).
 
     Returns (small, words): `small` holds per-variant parameters and exact
     section bit counts (cheap to fetch); `words` is the (V, W) packed residual
@@ -327,6 +327,61 @@ def analyze_pack_variants(sig: jnp.ndarray, *, n: int, bps: int,
                                  "coefs", "code_type", "porder", "rice_bits")}
     small["section_bits"] = sec_bits
     return small, words
+
+
+@partial(jax.jit, static_argnames=("n", "bps", "max_params", "max_fixed",
+                                   "fft_size", "max_porder", "C"))
+def analyze_blocks_ex(blocks: jnp.ndarray, lshift, *, n: int, bps: int,
+                      max_params: int, max_fixed: bool, fft_size: int,
+                      max_porder: int, C: int):
+    """Variant construction + analysis + exact section bit counts on device.
+
+    blocks: (Bp, C, n) int32 raw PCM (bucket-padded). Builds the channel
+    variants ([M, S] + plain channels, stacked on axis 0) on device so only
+    the raw blocks cross the host link. The Rice search cost IS the exact
+    emitted section size (integer bit counts for the chosen parameters), so
+    no separate accounting pass is needed.
+
+    Returns (small, big): `small` is fetched by the host (parameters + exact
+    section bits for stereo selection / raw fallback); `big` stays on device
+    and feeds pack_chosen.
+    """
+    work = blocks >> lshift
+    parts = []
+    if C >= 2:
+        s = work[:, 1] - work[:, 0]
+        m = work[:, 0] + (s >> 1)
+        parts.extend([m, s])
+    parts.extend(work[:, c] for c in range(C))
+    sig = jnp.concatenate(parts, axis=0)
+    out = _analyze_core(sig, n=n, bps=bps, max_params=max_params,
+                        max_fixed=max_fixed, fft_size=fft_size,
+                        max_porder=max_porder)
+    u = _zigzag(out["residual"])
+    small = {k: out[k] for k in ("pre_prev", "pre_coef", "orders", "rshifts",
+                                 "coefs", "code_type", "porder")}
+    small["section_bits"] = out["rice_bits"]
+    big = dict(u=u, code_type=out["code_type"], porder=out["porder"],
+               ks=out["ks"])
+    return small, big
+
+
+@partial(jax.jit, static_argnames=("n", "W", "cap"))
+def pack_chosen(u, code_type, porder, ks, chosen, starts, lens, *, n: int,
+                W: int, cap: int):
+    """Pack ONLY the chosen variant rows and compact them into a flat word
+    buffer in one device program (single fetch of ~compressed size)."""
+    from .bitpack import pack_residual_sections
+    uc = u[chosen]
+    words, _ = pack_residual_sections(uc, code_type[chosen], porder[chosen],
+                                      ks[chosen], n, W)
+    j = jnp.arange(cap, dtype=jnp.int32)
+    seg = jnp.clip(jnp.searchsorted(starts, j, side="right") - 1,
+                   0, chosen.shape[0] - 1)
+    col = j - starts[seg]
+    ok = (col >= 0) & (col < lens[seg])
+    col = jnp.clip(col, 0, W - 1)
+    return jnp.where(ok, words[seg, col], 0)
 
 
 @partial(jax.jit, static_argnames=("cap",))
