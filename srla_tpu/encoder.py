@@ -741,23 +741,54 @@ class SRLAEncoder:
             flat = np.asarray(jax.device_get(flat)).astype(">u4")
             flat_bytes = flat.tobytes()
 
-        for k, bi in enumerate(compress_idx):
-            i = idxs[bi]
-            pb = PayloadBuilder(int(bits[bi]) // 8 + 8)
-            head = self._params_header_bits(small, method, B, bi, row_of, C)
-            pb.append_bytes(head.getvalue(), head.tell_bits())
-            for c in range(C):
-                r = k * C + c
-                lo, hi = int(starts[r]) * 4, (int(starts[r]) + int(lens_w[r])) * 4
-                pb.append_array(np.frombuffer(flat_bytes[lo:hi], np.uint8),
-                                int(sec_bits[chosen_rows[r]]))
-            payload = pb.getvalue()
-            if 8 * len(payload) >= raw_bits:
-                blk = pcm[:, spans[i][0]:spans[i][0] + size].astype(np.int32)
-                results[i] = frame_block(BlockDataType.RAW, size,
-                                         self._raw_payload(blk, size))
-            else:
-                results[i] = frame_block(BlockDataType.COMPRESS, size, payload)
+        if compress_idx:
+            from . import native_decoder as nd
+            native_ok = nd.available()
+        if compress_idx and native_ok:
+            rows2 = np.array([[row_of(bi, c) for c in range(C)]
+                              for bi in compress_idx])
+            maxp = max(self.preset.max_num_parameters, 1)
+            framed, sizes = nd.assemble_blocks(
+                method[compress_idx], small["pre_prev"][rows2],
+                small["pre_coef"][rows2], small["orders"][rows2],
+                small["rshifts"][rows2], small["coefs"][rows2][:, :, :maxp],
+                flat_bytes, starts[:len(chosen_rows)].astype(np.int64) * 4,
+                sec_bits[chosen_rows], C, bps, size)
+            cursor = 0
+            for k, bi in enumerate(compress_idx):
+                i = idxs[bi]
+                sz = int(sizes[k])
+                if sz == 0:
+                    blk = pcm[:, spans[i][0]:spans[i][0] + size]
+                    results[i] = frame_block(
+                        BlockDataType.RAW, size,
+                        self._raw_payload(blk.astype(np.int32), size))
+                else:
+                    results[i] = framed[cursor:cursor + sz]
+                    cursor += sz
+        elif compress_idx:
+            for k, bi in enumerate(compress_idx):
+                i = idxs[bi]
+                pb = PayloadBuilder(int(bits[bi]) // 8 + 8)
+                head = self._params_header_bits(small, method, B, bi, row_of,
+                                                C)
+                pb.append_bytes(head.getvalue(), head.tell_bits())
+                for c in range(C):
+                    r = k * C + c
+                    lo = int(starts[r]) * 4
+                    hi = (int(starts[r]) + int(lens_w[r])) * 4
+                    pb.append_array(
+                        np.frombuffer(flat_bytes[lo:hi], np.uint8),
+                        int(sec_bits[chosen_rows[r]]))
+                payload = pb.getvalue()
+                if 8 * len(payload) >= raw_bits:
+                    blk = pcm[:, spans[i][0]:spans[i][0] + size]
+                    results[i] = frame_block(
+                        BlockDataType.RAW, size,
+                        self._raw_payload(blk.astype(np.int32), size))
+                else:
+                    results[i] = frame_block(BlockDataType.COMPRESS, size,
+                                             payload)
         # Raw-fallback blocks decided up front.
         for bi in range(B):
             if int(bits[bi]) >= raw_bits:

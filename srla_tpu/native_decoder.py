@@ -15,21 +15,24 @@ from functools import lru_cache
 
 import numpy as np
 
-_SRC = os.path.join(os.path.dirname(__file__), "native", "srla_decoder.cpp")
+_NATIVE_DIR = os.path.join(os.path.dirname(__file__), "native")
+_SRCS = [os.path.join(_NATIVE_DIR, "srla_decoder.cpp"),
+         os.path.join(_NATIVE_DIR, "srla_assemble.cpp")]
 _LOCK = threading.Lock()
 
 
 @lru_cache(maxsize=None)
 def _load():
-    cache_dir = os.path.join(os.path.dirname(__file__), "native", "build")
+    cache_dir = os.path.join(_NATIVE_DIR, "build")
     os.makedirs(cache_dir, exist_ok=True)
     so_path = os.path.join(cache_dir, "libsrla_native.so")
     with _LOCK:
         if (not os.path.exists(so_path)
-                or os.path.getmtime(so_path) < os.path.getmtime(_SRC)):
+                or any(os.path.getmtime(so_path) < os.path.getmtime(s)
+                       for s in _SRCS)):
             cxx = os.environ.get("CXX", "g++")
             cmd = [cxx, "-O3", "-fwrapv", "-fPIC", "-shared", "-std=c++17",
-                   _SRC, "-o", so_path]
+                   *_SRCS, "-o", so_path]
             subprocess.run(cmd, check=True, capture_output=True)
     lib = ctypes.CDLL(so_path)
     lib.srla_decode_block.restype = ctypes.c_long
@@ -45,6 +48,11 @@ def _load():
         ctypes.c_char_p, ctypes.c_long, ctypes.c_long, ctypes.c_int,
         ctypes.c_void_p,
     ]
+    lib.srla_assemble_blocks.restype = ctypes.c_long
+    lib.srla_assemble_blocks.argtypes = (
+        [ctypes.c_long] + [ctypes.c_int] * 4
+        + [ctypes.c_void_p] * 13
+        + [ctypes.c_void_p, ctypes.c_long, ctypes.c_void_p])
     return lib
 
 
@@ -73,6 +81,60 @@ def _luts():
             length[base:base + (1 << (K - L))] = L
         out.append((sym, length, K))
     return out
+
+
+@lru_cache(maxsize=None)
+def _code_tables():
+    from .huffman import parameter_codebook, sum_parameter_codebook
+    out = []
+    for cb in (parameter_codebook(), sum_parameter_codebook()):
+        out.append((cb.codes.astype(np.uint32),
+                    cb.lengths.astype(np.uint8)))
+    return out
+
+
+def assemble_blocks(method, pre_prev, pre_coef, orders, rshifts, coefs,
+                    sections: bytes, sec_off_bytes, sec_bits,
+                    num_channels: int, bits_per_sample: int,
+                    num_samples: int):
+    """Assemble framed COMPRESS blocks natively.
+
+    method (B,); per-channel params shaped (B, C); coefs (B, C, maxorder);
+    sections: concatenated packed residual-section bytes with per-(b,c) byte
+    offsets and exact bit counts. Returns (buffer bytes, sizes (B,)) where
+    size 0 marks a block that must be re-emitted as RAW by the caller.
+    """
+    lib = _load()
+    (pcodes, plens), (scodes, slens) = _code_tables()
+    B = len(method)
+    C = num_channels
+    maxorder = coefs.shape[2]
+    method = np.ascontiguousarray(method, np.int32)
+    pre_prev = np.ascontiguousarray(pre_prev, np.int32)
+    pre_coef = np.ascontiguousarray(pre_coef, np.int32)
+    orders = np.ascontiguousarray(orders, np.int32)
+    rshifts = np.ascontiguousarray(rshifts, np.int32)
+    coefs = np.ascontiguousarray(coefs, np.int32)
+    sec_off = np.ascontiguousarray(sec_off_bytes, np.int64)
+    sec_bits = np.ascontiguousarray(sec_bits, np.int64)
+    cap = int(B * (11 + 64 * C)
+              + (bits_per_sample + 2) * num_samples * C * B // 8)
+    out = np.empty(cap, np.uint8)
+    sizes = np.zeros(B, np.int64)
+
+    def vp(a):
+        return a.ctypes.data_as(ctypes.c_void_p)
+
+    total = lib.srla_assemble_blocks(
+        B, C, bits_per_sample, num_samples, maxorder,
+        vp(method), vp(pre_prev), vp(pre_coef), vp(orders), vp(rshifts),
+        vp(coefs), vp(pcodes), vp(plens), vp(scodes), vp(slens),
+        ctypes.cast(ctypes.c_char_p(sections), ctypes.c_void_p),
+        vp(sec_off), vp(sec_bits),
+        vp(out), cap, vp(sizes))
+    if total < 0:
+        raise ValueError("native assembler: output capacity exceeded")
+    return out[:total].tobytes(), sizes
 
 
 def decode_block(payload: bytes, num_channels: int, bits_per_sample: int,
