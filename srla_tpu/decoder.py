@@ -160,6 +160,11 @@ class SRLADecoder:
     def decode_whole(self, data: bytes) -> tuple[StreamHeader, np.ndarray]:
         header = decode_header(data)
         C, N = header.num_channels, header.num_samples
+        if self._native is not None:
+            pcm = self._native.decode_stream(
+                data[HEADER_SIZE:], C, header.bits_per_sample, N,
+                header.offset_lshift, self.check_checksum)
+            return header, pcm
         pcm = np.zeros((C, N), dtype=np.int32)
         offset = HEADER_SIZE
         progress = 0

@@ -664,14 +664,13 @@ class SRLAEncoder:
         # Pad the block axis to a bucket so device programs compile once per
         # bucket; variants are constructed ON DEVICE (halves the upload).
         Bp = ((B + 127) // 128) * 128
-        if Bp != B:
-            padded = np.zeros((Bp, C, size), np.int32)
-            padded[:B] = blocks
-            blocks = padded
+        # 16-bit content uploads as int16 (halves the host->device transfer).
+        up_dtype = np.int16 if bps <= 16 else np.int32
+        padded = np.zeros((Bp, C, size), up_dtype)
+        padded[:B] = blocks
         W = (size * (bps + 4)) // 32 + 64
         small, big = analyze_blocks_ex(
-            np.ascontiguousarray(blocks, dtype=np.int32),
-            np.int32(offset_lshift), C=C, **self._device_args(size))
+            padded, np.int32(offset_lshift), C=C, **self._device_args(size))
         small = jax.device_get(small)
         sec_bits = small["section_bits"].astype(np.int64)
         orders = small["orders"]

@@ -346,7 +346,7 @@ def analyze_blocks_ex(blocks: jnp.ndarray, lshift, *, n: int, bps: int,
     section bits for stereo selection / raw fallback); `big` stays on device
     and feeds pack_chosen.
     """
-    work = blocks >> lshift
+    work = blocks.astype(jnp.int32) >> lshift
     parts = []
     if C >= 2:
         s = work[:, 1] - work[:, 0]

@@ -87,6 +87,21 @@ inline int32_t unzigzag(uint32_t u) {
 
 inline int32_t sra(int32_t v, int s) { return v >> s; }
 
+uint16_t fletcher16(const uint8_t *data, long size) {
+    uint32_t c0 = 0, c1 = 0;
+    while (size > 0) {
+        long blk = size < 5802 ? size : 5802;
+        size -= blk;
+        while (blk--) {
+            c0 += *data++;
+            c1 += c0;
+        }
+        c0 = (c0 + (c0 / 255)) & 0xFF;
+        c1 = (c1 + (c1 / 255)) & 0xFF;
+    }
+    return (uint16_t)((c1 << 8) | c0);
+}
+
 void lpc_synthesize(int32_t *data, int n, const int32_t *coef, int order,
                     int rshift) {
     if (order == 0) return;
@@ -303,3 +318,83 @@ long srla_debug_params(const uint8_t *payload, long payload_size,
     return br.bits_consumed(payload);
 }
 }
+
+extern "C" {
+
+// Decode an entire .srl stream body (after the 30-byte file header) into
+// out (num_channels x num_samples). Returns decoded samples, or -1.
+long srla_decode_stream(
+    const uint8_t *data, long data_size,
+    int num_channels, int bits_per_sample, long num_samples,
+    int offset_lshift, int check_checksum,
+    const int16_t *plut_sym, const uint8_t *plut_len, int plut_bits,
+    const int16_t *slut_sym, const uint8_t *slut_len, int slut_bits,
+    int32_t *out) {
+    const int C = num_channels;
+    long progress = 0;
+    long off = 0;
+    int32_t *chbuf[16];
+    if (C > 16) return -1;
+    while (progress < num_samples && off + 11 <= data_size) {
+        const uint8_t *blk = data + off;
+        if (blk[0] != 0xFF || blk[1] != 0xFF) return -1;
+        uint32_t size32 = ((uint32_t)blk[2] << 24) | ((uint32_t)blk[3] << 16)
+                          | ((uint32_t)blk[4] << 8) | blk[5];
+        if (off + 6 + (long)size32 > data_size) return -1;
+        uint16_t want = (uint16_t)(((uint16_t)blk[6] << 8) | blk[7]);
+        if (check_checksum) {
+            uint16_t got = fletcher16(blk + 8, (long)size32 - 2);
+            if (got != want) return -2;
+        }
+        int btype = blk[8];
+        int ns = (blk[9] << 8) | blk[10];
+        const uint8_t *payload = blk + 11;
+        long psize = (long)size32 - 5;
+        if (progress + ns > num_samples) return -1;
+        if (btype == 1) {  // SILENT
+            for (int c = 0; c < C; c++)
+                memset(out + (long)c * num_samples + progress, 0,
+                       sizeof(int32_t) * ns);
+        } else if (btype == 2) {  // RAW: interleaved zigzag BE PCM
+            const uint8_t *rp = payload;
+            int nbytes = bits_per_sample / 8;
+            for (int s = 0; s < ns; s++) {
+                for (int c = 0; c < C; c++) {
+                    uint32_t uv = 0;
+                    for (int bb = 0; bb < nbytes; bb++) uv = (uv << 8) | *rp++;
+                    out[(long)c * num_samples + progress + s] = unzigzag(uv);
+                }
+            }
+        } else if (btype == 0) {  // COMPRESS
+            // Decode into per-channel strided views via a temp contiguous
+            // region: decode directly into out rows (they are contiguous
+            // per channel), using a row-major (C, ns) scratch semantics.
+            // srla_decode_block writes (C, ns) contiguous; build pointers.
+            // Simplest: decode into a stack buffer when ns small enough is
+            // not viable (ns up to 32768); decode per channel directly:
+            // reuse srla_decode_block with a contiguous temp.
+            static thread_local int32_t *tmp = nullptr;
+            static thread_local long tmp_cap = 0;
+            if ((long)C * ns > tmp_cap) {
+                delete[] tmp;
+                tmp_cap = (long)C * ns * 2;
+                tmp = new int32_t[tmp_cap];
+            }
+            long r = srla_decode_block(payload, psize, C, bits_per_sample,
+                                       ns, offset_lshift,
+                                       plut_sym, plut_len, plut_bits,
+                                       slut_sym, slut_len, slut_bits, tmp);
+            if (r < 0) return r;
+            for (int c = 0; c < C; c++)
+                memcpy(out + (long)c * num_samples + progress,
+                       tmp + (long)c * ns, sizeof(int32_t) * ns);
+        } else {
+            return -1;
+        }
+        off += 6 + size32;
+        progress += ns;
+    }
+    return progress;
+}
+
+}  // extern "C"

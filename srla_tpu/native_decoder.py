@@ -48,6 +48,14 @@ def _load():
         ctypes.c_char_p, ctypes.c_long, ctypes.c_long, ctypes.c_int,
         ctypes.c_void_p,
     ]
+    lib.srla_decode_stream.restype = ctypes.c_long
+    lib.srla_decode_stream.argtypes = [
+        ctypes.c_char_p, ctypes.c_long,
+        ctypes.c_int, ctypes.c_int, ctypes.c_long, ctypes.c_int, ctypes.c_int,
+        ctypes.c_void_p, ctypes.c_void_p, ctypes.c_int,
+        ctypes.c_void_p, ctypes.c_void_p, ctypes.c_int,
+        ctypes.c_void_p,
+    ]
     lib.srla_assemble_blocks.restype = ctypes.c_long
     lib.srla_assemble_blocks.argtypes = (
         [ctypes.c_long] + [ctypes.c_int] * 4
@@ -135,6 +143,32 @@ def assemble_blocks(method, pre_prev, pre_coef, orders, rshifts, coefs,
     if total < 0:
         raise ValueError("native assembler: output capacity exceeded")
     return out[:total].tobytes(), sizes
+
+
+def decode_stream(body: bytes, num_channels: int, bits_per_sample: int,
+                  num_samples: int, offset_lshift: int,
+                  check_checksum: bool = True) -> np.ndarray:
+    """Decode a whole .srl stream body (after the 30-byte header) natively."""
+    lib = _load()
+    (psym, plen, pk), (ssym, slen, sk) = _luts()
+    out = np.empty((num_channels, num_samples), dtype=np.int32)
+    r = lib.srla_decode_stream(
+        body, len(body), num_channels, bits_per_sample, num_samples,
+        offset_lshift, 1 if check_checksum else 0,
+        psym.ctypes.data_as(ctypes.c_void_p),
+        plen.ctypes.data_as(ctypes.c_void_p), pk,
+        ssym.ctypes.data_as(ctypes.c_void_p),
+        slen.ctypes.data_as(ctypes.c_void_p), sk,
+        out.ctypes.data_as(ctypes.c_void_p))
+    if r == -2:
+        raise ValueError("data corruption detected (checksum mismatch)")
+    if r < 0:
+        raise ValueError("insufficient data")
+    if r < num_samples:
+        # Clean truncation at a block boundary: reference semantics decode
+        # what is present and leave the tail silent.
+        out[:, r:] = 0
+    return out
 
 
 def decode_block(payload: bytes, num_channels: int, bits_per_sample: int,
