@@ -352,6 +352,7 @@ class SRLAEncoder:
                     state = state.copy()
                     state[:len(raw)] = raw
                 split.append(params)
+            self._last_state = state
         else:
             stack = np.ascontiguousarray(np.concatenate(variants, axis=0))
             all_params = self._analyze_channel(stack, n)
@@ -598,11 +599,19 @@ class SRLAEncoder:
             if types[j] == BlockDataType.COMPRESS:
                 prev = j
                 break
-        cap = round_up_pow2(self.p.max_num_samples_per_block)
-        state = np.zeros(cap)
         if prev is None:
-            return state
+            return self._fresh_state()
         off, size = spans[prev]
+        return self._state_from_block(pcm, off, size, offset_lshift)
+
+    def _fresh_state(self) -> np.ndarray:
+        # Fresh arena memory in the reference comes from mmap'd pages: zeros.
+        return np.zeros(round_up_pow2(self.p.max_num_samples_per_block))
+
+    def _state_from_block(self, pcm, off, size, offset_lshift) -> np.ndarray:
+        """Work-buffer contents after analyzing the (even-length) block at
+        (off, size): the raw IFFT buffer of its last channel variant."""
+        state = self._fresh_state()
         work = pcm[:, off:off + size].astype(np.int32)
         if offset_lshift:
             work = (work >> offset_lshift).astype(np.int32)
@@ -847,26 +856,64 @@ class SRLAEncoder:
         lookahead = p.num_lookahead_samples
         out = []
         progress = 0
+        last_compress = None  # (off, size) of the last compress-analyzed span
         while progress < N:
             span = min(lookahead, N - progress)
-            parts = self._search_partitions(pcm[:, progress:progress + span],
-                                            span, offset_lshift)
+            window = pcm[:, progress:progress + span]
+            if span % 2 == 1:
+                # Odd final window: thread the reference's work-buffer state
+                # through the search DAG and the partition encodes.
+                state = (self._state_from_block(pcm, *last_compress,
+                                                offset_lshift)
+                         if last_compress else self._fresh_state())
+                parts, state = self._search_partitions(
+                    window, span, offset_lshift, state=state)
+                off = 0
+                for size in parts:
+                    blk = pcm[:, progress + off:progress + off + size]
+                    if size <= self.preset.max_num_parameters:
+                        out.append(frame_block(
+                            BlockDataType.RAW, size,
+                            self._raw_payload(blk.astype(np.int32), size)))
+                    elif not blk.any():
+                        out.append(frame_block(BlockDataType.SILENT, size,
+                                               b""))
+                    else:
+                        method, params, _bits = self._compute_coefficients(
+                            blk[None].astype(np.int32), size, offset_lshift,
+                            stale_state=state)
+                        state = self._last_state
+                        out.append(self._finish_block(
+                            pcm, [(progress + off, size)], 0, size, params,
+                            int(method[0]), 0, C))
+                    off += size
+                progress += span
+                continue
+            parts = self._search_partitions(window, span, offset_lshift)
             spans = []
             off = 0
             for size in parts:
                 spans.append((progress + off, size))
                 off += size
             out.extend(self._encode_spans(pcm, spans, offset_lshift))
+            for o, s in reversed(spans):
+                blk = pcm[:, o:o + s]
+                if s > self.preset.max_num_parameters and blk.any():
+                    last_compress = (o, s)
+                    break
             progress += span
         return out
 
     def _search_partitions(self, window: np.ndarray, span: int,
-                           offset_lshift: int) -> list[int]:
+                           offset_lshift: int, state=None):
         """Shortest-path search over candidate block boundaries.
 
         Edge (i, j) cost = measured encoded size of that span. All edge spans
         are evaluated as one batched encode per distinct size — the reference's
-        dominant serial cost becomes a batch dimension here.
+        dominant serial cost becomes a batch dimension here. When `state` is
+        given (odd-length window), edges are evaluated serially in the
+        reference's (i, j) order with work-buffer state threading, and the
+        evolved state is returned alongside the partition list.
         """
         p = self.p
         dmin = p.min_num_samples_per_block
@@ -885,14 +932,34 @@ class SRLAEncoder:
                 off = i * dmin
                 size = min(size, span - off)
                 jobs[(i, j)] = (off, size)
-        by_size: dict[int, list] = {}
-        for key, (off, size) in jobs.items():
-            by_size.setdefault(size, []).append((key, off))
-        for size, entries in by_size.items():
-            sizes = self._measure_blocks(
-                window, [off for _, off in entries], size, offset_lshift)
-            for (key, _), sz in zip(entries, sizes):
-                adj[key] = float(sz)
+        if state is not None:
+            C = window.shape[0]
+            raw11 = lambda size: 11 + (p.bits_per_sample * size * C) // 8
+            for key, (off, size) in jobs.items():  # reference (i, j) order
+                blk = window[:, off:off + size]
+                if size <= self.preset.max_num_parameters:
+                    adj[key] = float(raw11(size))
+                elif not blk.any():
+                    adj[key] = 11.0
+                else:
+                    _m, _p, bits = self._compute_coefficients(
+                        blk[None].astype(np.int32), size, offset_lshift,
+                        stale_state=state)
+                    state = self._last_state
+                    nbits = int(bits[0])
+                    if nbits >= p.bits_per_sample * size * C:
+                        adj[key] = float(raw11(size))
+                    else:
+                        adj[key] = float(11 + nbits // 8)
+        else:
+            by_size: dict[int, list] = {}
+            for key, (off, size) in jobs.items():
+                by_size.setdefault(size, []).append((key, off))
+            for size, entries in by_size.items():
+                sizes = self._measure_blocks(
+                    window, [off for _, off in entries], size, offset_lshift)
+                for (key, _), sz in zip(entries, sizes):
+                    adj[key] = float(sz)
 
         path = _dijkstra(adj, num_nodes, 0, num_nodes - 1, BIG)
         # Walk back from goal, clip tail spans.
@@ -904,7 +971,10 @@ class SRLAEncoder:
             size = min((node - prev) * dmin, span - off)
             parts_rev.append(size)
             node = prev
-        return parts_rev[::-1]
+        parts = parts_rev[::-1]
+        if state is not None:
+            return parts, state
+        return parts
 
     def _measure_blocks(self, window: np.ndarray, offsets, size: int,
                         offset_lshift: int) -> list[int]:
@@ -1028,6 +1098,35 @@ def _compute_offset_lshift(pcm: np.ndarray) -> int:
     if mask == 0:
         return 0
     return (mask & -mask).bit_length() - 1
+
+
+def encode_files(pcm_list, bits_per_sample: int, sampling_rate: int,
+                 preset: int = 4, max_block: int = 4096,
+                 variable_divisions: int = 0, lookahead_factor: int = 4,
+                 ltp_order: int = 0, svr_iterations: int = 0,
+                 backend: str = "tpu") -> list:
+    """Batched multi-file encode (corpus throughput runs).
+
+    Device programs are shared across files (block batches are padded to
+    fixed buckets, so every file reuses the same compiled executables); the
+    per-file streams come back in order.
+    """
+    out = []
+    enc = None
+    for pcm in pcm_list:
+        pcm = np.asarray(pcm, dtype=np.int32)
+        param = EncodeParameter(
+            num_channels=pcm.shape[0], bits_per_sample=bits_per_sample,
+            sampling_rate=sampling_rate, preset=preset,
+            max_num_samples_per_block=max_block,
+            min_num_samples_per_block=max_block >> variable_divisions,
+            num_lookahead_samples=lookahead_factor * max_block,
+            ltp_order=ltp_order,
+            num_svr_filter_learning_iteration=svr_iterations)
+        if enc is None or enc.p != param:
+            enc = SRLAEncoder(param, backend=backend)
+        out.append(enc.encode_whole(pcm))
+    return out
 
 
 def encode(pcm: np.ndarray, bits_per_sample: int, sampling_rate: int,

@@ -95,6 +95,15 @@ def test_odd_tail_blocks(n, ch, ltp):
     assert mine == ref
 
 
+def test_vblock_odd_length_file():
+    """Variable-block search over an odd-length file exercises work-buffer
+    state threading through the search DAG."""
+    pcm = signals.gaussian_noise(4096 * 5 + 1357, 2, 16)
+    ref = ref_encode(pcm, 16, 44100, preset=4, V=2)
+    mine = encode(pcm, 16, 44100, preset=4, variable_divisions=2)
+    assert mine == ref
+
+
 def test_svr_refinement():
     pcm = signals.gaussian_noise(16384, 2, 16)
     for it in (1, 3):
