@@ -53,14 +53,14 @@ def main(argv=None) -> int:
     import numpy as np
 
     from . import decoder, encoder
-    from .wavio import WavData, read_wav, write_wav
+    from .wavio import WavData, read_audio, write_wav
 
     t0 = time.time()
     if args.encode:
         if not (0 <= args.mode <= 6):
             print(f"invalid compress mode: {args.mode}", file=sys.stderr)
             return 1
-        wav = read_wav(args.input)
+        wav = read_audio(args.input)
         data = encoder.encode(
             wav.pcm, wav.bits_per_sample, wav.sampling_rate,
             preset=args.mode, max_block=args.max_block_size,

@@ -13,7 +13,7 @@ API parity targets: SRLAEncoder_* in libs/srla_encoder/src/srla_encoder.c.
 from __future__ import annotations
 
 import math
-from dataclasses import dataclass, field
+from dataclasses import dataclass
 
 import numpy as np
 
@@ -24,7 +24,7 @@ from .constants import (LPC_COEFFICIENT_BITWIDTH, LPC_COEFFICIENT_ORDER_BITWIDTH
                         LPC_RIDGE_REGULARIZATION_PARAMETER,
                         LTP_COEFFICIENT_BITWIDTH, LTP_MAX_PERIOD, LTP_MIN_PERIOD,
                         LTP_ORDER_BITWIDTH, LTP_PERIOD_BITWIDTH,
-                        MAX_COEFFICIENT_ORDER, PARAMETER_PRESETS,
+                        PARAMETER_PRESETS,
                         PREEMPHASIS_COEF_SHIFT, RSHIFT_LPC_COEFFICIENT_BITWIDTH,
                         BlockDataType, ChProcessMethod, OrderTactics)
 from .dsp import preemphasis as preemph

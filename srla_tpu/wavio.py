@@ -20,6 +20,52 @@ class WavData:
     bits_per_sample: int
 
 
+def read_audio(path: str) -> WavData:
+    """Read WAV or AIFF into int32 channel planes."""
+    with open(path, "rb") as f:
+        head = f.read(12)
+    if head[:4] == b"FORM" and head[8:12] in (b"AIFF", b"AIFC"):
+        return read_aiff(path)
+    return read_wav(path)
+
+
+def read_aiff(path: str) -> WavData:
+    """AIFF (big-endian PCM) -> int32 channel planes."""
+    with open(path, "rb") as f:
+        raw = f.read()
+    if raw[:4] != b"FORM" or raw[8:12] not in (b"AIFF", b"AIFC"):
+        raise ValueError("not an AIFF file")
+    pos = 12
+    comm = None
+    ssnd = None
+    while pos + 8 <= len(raw):
+        cid = raw[pos:pos + 4]
+        size = struct.unpack_from(">I", raw, pos + 4)[0]
+        body = raw[pos + 8: pos + 8 + size]
+        if cid == b"COMM":
+            comm = body
+        elif cid == b"SSND":
+            off = struct.unpack_from(">I", body, 0)[0]
+            ssnd = body[8 + off:]
+        pos += 8 + size + (size & 1)
+    if comm is None or ssnd is None:
+        raise ValueError("missing COMM/SSND chunk")
+    nch, nframes, bps = struct.unpack_from(">hIh", comm)
+    # 80-bit IEEE extended sampling rate.
+    exp = struct.unpack_from(">H", comm, 8)[0]
+    mant = struct.unpack_from(">Q", comm, 10)[0]
+    rate = int(round(mant * 2.0 ** (int(exp & 0x7FFF) - 16383 - 63)))
+    nbytes = (bps + 7) // 8
+    buf = np.frombuffer(ssnd[:nframes * nch * nbytes], dtype=np.uint8)
+    buf = buf.reshape(nframes, nch, nbytes)
+    val = np.zeros((nframes, nch), dtype=np.int64)
+    for b in range(nbytes):
+        val = (val << 8) | buf[:, :, b].astype(np.int64)
+    sign = np.int64(1) << (8 * nbytes - 1)
+    pcm = ((val ^ sign) - sign) >> (8 * nbytes - bps)
+    return WavData(pcm.T.astype(np.int32).copy(), rate, bps)
+
+
 def read_wav(path: str) -> WavData:
     with open(path, "rb") as f:
         raw = f.read()
