@@ -55,6 +55,8 @@ class EncodeParameter:
     num_svr_filter_learning_iteration: int = 0
 
     def validate(self):
+        if self.bits_per_sample not in (8, 16, 24):
+            raise ValueError("bits_per_sample must be 8, 16, or 24")
         if self.min_num_samples_per_block > self.max_num_samples_per_block:
             raise ValueError("min block > max block")
         if self.num_lookahead_samples < self.max_num_samples_per_block:
