@@ -121,6 +121,20 @@ def quantize_parcor(lpc_coef: np.ndarray, nbits_precision: int) -> np.ndarray:
     return np.clip(q, -qmax, qmax - 1).astype(np.int32)
 
 
+def calculate_mdl(parcor: np.ndarray, num_samples: int) -> float:
+    """Minimum description length from PARCOR coefficients.
+
+    MDL = n * sum_{k>=1} ln(1 - parcor_k^2) + order * ln(n).
+    """
+    order = len(parcor)
+    tmp = 0.0
+    for k in range(1, order):
+        tmp += math.log(1.0 - parcor[k] * parcor[k])
+    tmp *= num_samples
+    tmp += order * math.log(num_samples)
+    return tmp
+
+
 def estimate_code_length(error_var_ratio: float, power: float,
                          num_samples: int, bits_per_sample: int) -> float:
     """Laplace-assumption entropy estimate (bits/sample) from LPC stats."""

@@ -1,20 +1,21 @@
-"""Pallas TPU kernel: codeword-stream bit packing via one-hot MXU matmuls.
+"""Pallas TPU kernel: codeword-stream bit packing (one-hot masked reduction).
 
 Each grid step packs ROWS variant rows. Codewords are processed in vector
-chunks; every chunk contributes to two 32-bit words (split as two 16-bit f32
-halves so the MXU accumulates exactly), combined against the FULL output row
-with a one-hot matmul — the contraction over the chunk axis is simultaneously
-the reduction and the lane<->sublane transpose. Bit ranges of distinct
-codewords are disjoint, so sums equal ORs carry-free and chunk order is
-irrelevant (streams need not be merged or sorted).
+chunks; every codeword contributes its tail to (at most) two 32-bit words,
+combined against the FULL output row with a masked sum over the chunk axis —
+bit ranges of distinct codewords are disjoint, so integer sums equal ORs
+carry-free, and chunk/codeword order is irrelevant (streams need not be
+merged or sorted).
 
-No dynamic slices, no scatters, no read-modify-write: per row the two f32
-accumulators are loop carries and a single static-width store writes the row.
+Implementation notes for this Mosaic stack: dot_general with M=1 miscompiles
+(verified by probe kernels), so the combine is a (Wp, 2*CHUNK) masked select +
+lane reduction + a (Wp, 1) -> (1, Wp) reshape. No dynamic slices on the
+output, no scatters, no RMW.
 
-STATUS: correct under the Pallas interpreter (covered by tests/test_bitpack);
-on this machine's Mosaic/axon stack the lowered kernel produces wrong words
-(two independent formulations reproduced the discrepancy), so the production
-device path uses the XLA scatter packer in kernels/bitpack.py instead.
+STATUS: bit-exact on hardware AND under the interpreter, but the full-width
+masked reduction runs ~10x slower than the XLA scatter packer on v5e, so
+kernels/bitpack.py remains the production path. Kept as the working Pallas
+formulation to iterate on (windowed variant + relayout cost are the levers).
 """
 
 from __future__ import annotations
@@ -43,11 +44,9 @@ def _pack_rows_kernel(offs_ref, tails_ref, tbits_ref, out_ref):
     T = offs_ref.shape[1]
     n_chunks = T // CHUNK
     lanes = jax.lax.broadcasted_iota(jnp.int32, (Wp, 2 * CHUNK), 0)
-    dims = (((1,), (1,)), ((), ()))
 
     def row_body(r, _):
-        def chunk_body(c, carry):
-            acc_lo, acc_hi = carry
+        def chunk_body(c, acc):
             off = offs_ref[pl.ds(r, 1), pl.ds(c * CHUNK, CHUNK)]  # (1, CHUNK)
             tl = tails_ref[pl.ds(r, 1), pl.ds(c * CHUNK, CHUNK)]
             tb = tbits_ref[pl.ds(r, 1), pl.ds(c * CHUNK, CHUNK)]
@@ -64,20 +63,13 @@ def _pack_rows_kernel(offs_ref, tails_ref, tbits_ref, out_ref):
             lidB = jnp.where(valid & (vB != 0), w0 + 1, -1)
             lid2 = jnp.concatenate([lidA, lidB], axis=1)       # (1, 2C)
             val2 = jnp.concatenate([vA, vB], axis=1)
-            onehot = (lanes == lid2).astype(jnp.float32)       # (Wp, 2C)
-            lo = (val2 & 0xFFFF).astype(jnp.float32)
-            hi = _lsr(val2, jnp.int32(16)).astype(jnp.float32)
-            acc_lo = acc_lo + jax.lax.dot_general(
-                lo, onehot, dims, preferred_element_type=jnp.float32)
-            acc_hi = acc_hi + jax.lax.dot_general(
-                hi, onehot, dims, preferred_element_type=jnp.float32)
-            return (acc_lo, acc_hi)
+            contrib = jnp.sum(jnp.where(lanes == lid2, val2, 0),
+                              axis=1, keepdims=True)           # (Wp, 1)
+            return acc + contrib.reshape(1, Wp)
 
-        acc0 = jnp.zeros((1, Wp), jnp.float32)
-        acc_lo, acc_hi = jax.lax.fori_loop(0, n_chunks, chunk_body,
-                                           (acc0, acc0))
-        out_ref[pl.ds(r, 1), :] = (acc_lo.astype(jnp.int32)
-                                   | (acc_hi.astype(jnp.int32) << 16))
+        acc = jax.lax.fori_loop(0, n_chunks, chunk_body,
+                                jnp.zeros((1, Wp), jnp.int32))
+        out_ref[pl.ds(r, 1), :] = acc
         return 0
 
     jax.lax.fori_loop(0, ROWS, row_body, 0)

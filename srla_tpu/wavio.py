@@ -101,6 +101,34 @@ def read_wav(path: str) -> WavData:
     return WavData(pcm.T.astype(np.int32).copy(), rate, bps)
 
 
+def write_aiff(path: str, wav: WavData) -> None:
+    """Write AIFF (big-endian PCM, 80-bit extended sample rate)."""
+    pcm = wav.pcm
+    nch, n = pcm.shape
+    nbytes = wav.bits_per_sample // 8
+    inter = pcm.T.astype(np.int64) & ((np.int64(1) << (8 * nbytes)) - 1)
+    out = np.zeros((n, nch, nbytes), dtype=np.uint8)
+    for b in range(nbytes):
+        out[:, :, b] = (inter >> (8 * (nbytes - 1 - b))) & 0xFF
+    payload = out.tobytes()
+    # 80-bit extended float for the sample rate.
+    rate = wav.sampling_rate
+    exp = 16383 + 63
+    mant = rate
+    while mant < (1 << 63):
+        mant <<= 1
+        exp -= 1
+    comm = struct.pack(">hIhHQ", nch, n, wav.bits_per_sample, exp, mant)
+    ssnd = struct.pack(">II", 0, 0) + payload
+    size = 4 + (8 + len(comm)) + (8 + len(ssnd))
+    with open(path, "wb") as f:
+        f.write(b"FORM" + struct.pack(">I", size) + b"AIFF")
+        f.write(b"COMM" + struct.pack(">I", len(comm)) + comm)
+        f.write(b"SSND" + struct.pack(">I", len(ssnd)) + ssnd)
+        if len(ssnd) & 1:
+            f.write(b"\x00")
+
+
 def write_wav(path: str, wav: WavData) -> None:
     pcm = wav.pcm
     nch, n = pcm.shape
