@@ -22,6 +22,11 @@ def autocorr_fft(windowed: np.ndarray, num_samples: int, order: int,
     one window sample unwritten; see encoder stale-state emulation)."""
     fft_size = round_up_pow2(num_samples)
     B = windowed.shape[0]
+    from .. import native_decoder
+    if native_decoder.available() and fft_size >= 4:
+        return native_decoder.autocorr_batch(windowed[:, :num_samples],
+                                             fft_size, num_samples, order,
+                                             want_raw)
     buf = np.zeros((B, fft_size))
     buf[:, :num_samples] = windowed
     buf = real_fft(buf, -1)

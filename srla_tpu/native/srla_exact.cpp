@@ -1,0 +1,283 @@
+// Native exact-path analysis kernels: batched f64 Stockham FFT
+// autocorrelation and the Rice partition search.
+//
+// Exactness contract: identical IEEE-754 double rounding to the Python host
+// path (and the reference codec). Twiddle/rotor tables are computed by the
+// CALLER (Python `math`, platform libm) and passed in; all arithmetic here is
+// plain +,-,*,/ with no FMA contraction (build with -ffp-contract=off) and
+// matching op order. The plain-Rice parameter uses libm log directly — the
+// same call chain as the reference.
+
+#include <cmath>
+#include <cstdint>
+#include <cstring>
+
+namespace {
+
+struct Cplx { double re, im; };
+
+inline Cplx cmul(Cplx a, Cplx b) {
+    // Matches numpy 2.x complex128 multiply rounding (SIMD fmaddsub): the
+    // second product rounds separately, the outer op is a fused multiply-add.
+    return {std::fma(a.re, b.re, -(a.im * b.im)),
+            std::fma(a.re, b.im, a.im * b.re)};
+}
+
+// Radix-4 Stockham complex FFT over interleaved re/im pairs, using
+// caller-provided per-stage twiddles (w1,w2,w3 concatenated per stage).
+void complex_fft(int n, int flag, Cplx *x, Cplx *y, const double *tw) {
+    int s = 1;
+    Cplx *src = x;
+    const double ji = -(double)flag;
+    while (n > 2) {
+        const int n1 = n >> 2;
+        const int n2 = n >> 1;
+        const int n3 = n1 + n2;
+        for (int p = 0; p < n1; p++) {
+            const Cplx w1 = {tw[6 * p + 0], tw[6 * p + 1]};
+            const Cplx w2 = {tw[6 * p + 2], tw[6 * p + 3]};
+            const Cplx w3 = {tw[6 * p + 4], tw[6 * p + 5]};
+            for (int q = 0; q < s; q++) {
+                const Cplx a = x[q + s * (p + 0)];
+                const Cplx b = x[q + s * (p + n1)];
+                const Cplx c = x[q + s * (p + n2)];
+                const Cplx d = x[q + s * (p + n3)];
+                const Cplx apc = {a.re + c.re, a.im + c.im};
+                const Cplx amc = {a.re - c.re, a.im - c.im};
+                const Cplx bpd = {b.re + d.re, b.im + d.im};
+                const Cplx bmd = {b.re - d.re, b.im - d.im};
+                const Cplx jbmd = cmul({0.0, ji}, bmd);
+                y[q + s * ((p << 2) + 0)] = {apc.re + bpd.re, apc.im + bpd.im};
+                y[q + s * ((p << 2) + 1)] =
+                    cmul(w1, {amc.re - jbmd.re, amc.im - jbmd.im});
+                y[q + s * ((p << 2) + 2)] =
+                    cmul(w2, {apc.re - bpd.re, apc.im - bpd.im});
+                y[q + s * ((p << 2) + 3)] =
+                    cmul(w3, {amc.re + jbmd.re, amc.im + jbmd.im});
+            }
+        }
+        tw += 6 * n1;
+        n >>= 2;
+        s <<= 2;
+        Cplx *t = x; x = y; y = t;
+    }
+    if (n == 2) {
+        for (int q = 0; q < s; q++) {
+            const Cplx a = x[q];
+            const Cplx b = x[q + s];
+            y[q] = {a.re + b.re, a.im + b.im};
+            y[q + s] = {a.re - b.re, a.im - b.im};
+        }
+        s <<= 1;
+        Cplx *t = x; x = y; y = t;
+    }
+    if (src != x) memcpy(y, x, sizeof(Cplx) * (size_t)s);
+}
+
+// Real FFT (packed format), caller-provided rotors (wr,wi pairs) and stage
+// twiddles for the half-size complex FFT.
+void real_fft(int n, int flag, double *x, double *work, const double *tw,
+              const double *rotors) {
+    const double c2 = flag * 0.5;
+    if (flag == -1) complex_fft(n >> 1, -1, (Cplx *)x, (Cplx *)work, tw);
+    const int count = n >> 2;
+    for (int i = 1; i <= count; i++) {
+        const int i1 = i << 1;
+        const int i2 = i1 + 1;
+        const int i3 = n - i1;
+        const int i4 = i3 + 1;
+        const double wr = rotors[2 * (i - 1)];
+        const double wi = rotors[2 * (i - 1) + 1];
+        const double h1r = 0.5 * (x[i1] + x[i3]);
+        const double h1i = 0.5 * (x[i2] - x[i4]);
+        const double h2r = -c2 * (x[i2] + x[i4]);
+        const double h2i = c2 * (x[i1] - x[i3]);
+        x[i1] = h1r + (wr * h2r) - (wi * h2i);
+        x[i2] = h1i + (wr * h2i) + (wi * h2r);
+        x[i3] = h1r - (wr * h2r) + (wi * h2i);
+        x[i4] = -h1i + (wr * h2i) + (wi * h2r);
+    }
+    const double h1r = x[0];
+    if (flag == -1) {
+        x[0] = h1r + x[1];
+        x[1] = h1r - x[1];
+    } else {
+        x[0] = 0.5 * (h1r + x[1]);
+        x[1] = 0.5 * (h1r - x[1]);
+        complex_fft(n >> 1, 1, (Cplx *)x, (Cplx *)work, tw);
+    }
+}
+
+inline uint32_t zigzag32(int32_t v) {
+    return ((uint32_t)(v >> 31)) ^ ((uint32_t)v << 1);
+}
+
+}  // namespace
+
+extern "C" {
+
+// Batched FFT autocorrelation. windowed: (V, fft_size) f64 (already windowed
+// and zero-padded). Outputs auto_corr (V, order) f64 and optionally the raw
+// IFFT buffers (V, fft_size). Twiddles: fwd/inv stage tables + rotors from
+// the Python side (same libm).
+void srla_autocorr_batch(
+    double *windowed, long V, int fft_size, int num_samples, int order,
+    const double *tw_fwd, const double *rot_fwd,
+    const double *tw_inv, const double *rot_inv,
+    double *auto_corr, double *raw_out) {
+    double *work = new double[fft_size];
+    const double norm = 2.0 / num_samples;
+    const int take = order < fft_size ? order : fft_size;
+    for (long v = 0; v < V; v++) {
+        double *buf = windowed + (long)v * fft_size;
+        real_fft(fft_size, -1, buf, work, tw_fwd, rot_fwd);
+        buf[0] *= buf[0];
+        buf[1] *= buf[1];
+        for (int i = 2; i < fft_size; i += 2) {
+            const double re = buf[i];
+            const double im = buf[i + 1];
+            buf[i] = re * re + im * im;
+            buf[i + 1] = 0.0;
+        }
+        real_fft(fft_size, 1, buf, work, tw_inv, rot_inv);
+        double *ac = auto_corr + (long)v * order;
+        for (int i = 0; i < take; i++) ac[i] = buf[i] * norm;
+        for (int i = take; i < order; i++) ac[i] = 0.0;
+        if (raw_out)
+            memcpy(raw_out + (long)v * fft_size, buf,
+                   sizeof(double) * fft_size);
+    }
+    delete[] work;
+}
+
+// Batched Rice partition search (exact; same decisions as the reference).
+// residuals: (V, n) int32. Outputs per variant: code_type, best_porder,
+// min_bits, ks (V, 1024) int16.
+void srla_rice_search_batch(
+    const int32_t *residuals, long V, int n, int max_porder,
+    int32_t *code_type_out, int32_t *porder_out, int64_t *bits_out,
+    int16_t *ks_out) {
+    const int MAXP = 1 << max_porder;
+    uint32_t *u = new uint32_t[n];
+    int32_t *ks_lvl = new int32_t[MAXP];
+    double *mean_lvls = new double[(max_porder + 1) * MAXP];
+    for (long v = 0; v < V; v++) {
+        const int32_t *res = residuals + (long)v * n;
+        uint32_t max_uval = 0;
+        for (int i = 0; i < n; i++) {
+            u[i] = zigzag32(res[i]);
+            if (u[i] > max_uval) max_uval = u[i];
+        }
+        // Leaf means (exact: integer sums fit f64), then pairwise merges.
+        const int nleaf = MAXP;
+        const int leafn = n / nleaf;
+        double *lv = mean_lvls + max_porder * MAXP;
+        for (int p = 0; p < nleaf; p++) {
+            int64_t s = 0;
+            for (int i = 0; i < leafn; i++) s += u[p * leafn + i];
+            lv[p] = (double)s / leafn;
+        }
+        for (int lvl = max_porder - 1; lvl >= 0; lvl--) {
+            double *cur = mean_lvls + lvl * MAXP;
+            double *fine = mean_lvls + (lvl + 1) * MAXP;
+            for (int p = 0; p < (1 << lvl); p++)
+                cur[p] = (fine[2 * p] + fine[2 * p + 1]) / 2.0;
+        }
+        if (max_uval == 0) {
+            code_type_out[v] = 2;
+            porder_out[v] = 0;
+            bits_out[v] = 2;
+            memset(ks_out + (long)v * 1024, 0, 1024 * sizeof(int16_t));
+            continue;
+        }
+        const bool recursive = mean_lvls[0] >= 2.0;
+        int64_t best_bits = INT64_MAX;
+        int best_porder = 0;
+        int16_t *ks_row = ks_out + (long)v * 1024;
+        for (int porder = 0; porder <= max_porder; porder++) {
+            const int nparts = 1 << porder;
+            const int nsmpl = n >> porder;
+            const double *m = mean_lvls + porder * MAXP;
+            int64_t bits = 10 + 5;
+            int32_t prevk = 0;
+            for (int part = 0; part < nparts; part++) {
+                int32_t k;
+                if (recursive) {
+                    double g = 0.66794162356 * (1.0 + m[part]);
+                    if (g < 1.0) g = 1.0;
+                    uint32_t gi = (uint32_t)g;
+                    k = 31 - __builtin_clz(gi);
+                    const int64_t k1pow = (int64_t)1 << (k + 1);
+                    int64_t rb = 0;
+                    const uint32_t *up = u + part * nsmpl;
+                    for (int i = 0; i < nsmpl; i++) {
+                        // reference computes this difference in int32
+                        int32_t d = (int32_t)((uint32_t)up[i]
+                                              - (uint32_t)k1pow);
+                        if (d > 0) rb += d >> k;
+                    }
+                    bits += (int64_t)(k + 2) * nsmpl + rb;
+                } else {
+                    const double mean = m[part];
+                    const double rho = 1.0 / (1.0 + mean);
+                    const double om = 1.0 - rho;
+                    const double denom =
+                        (om == 0.0) ? -HUGE_VAL : log(om);
+                    const double lv2 =
+                        log(0.5127629514437670454896078808815218508243560791015625)
+                        / denom;
+                    const double log2v =
+                        ((lv2 == 0.0) ? -HUGE_VAL : log(lv2))
+                        * 1.4426950408889634;
+                    double r = (log2v >= 0.0) ? floor(log2v + 0.5)
+                                              : -floor(-log2v + 0.5);
+                    if (r < 0.0) r = 0.0;
+                    k = (int32_t)r;
+                    int64_t rb = 0;
+                    const uint32_t *up = u + part * nsmpl;
+                    for (int i = 0; i < nsmpl; i++) rb += up[i] >> k;
+                    bits += (int64_t)(k + 1) * nsmpl + rb;
+                }
+                if (part == 0) {
+                    prevk = k;
+                } else {
+                    bits += zigzag32(k - prevk) + 1;
+                    prevk = k;
+                }
+                ks_lvl[part] = k;
+            }
+            if (bits < best_bits) {
+                best_bits = bits;
+                best_porder = porder;
+                for (int p = 0; p < nparts; p++)
+                    ks_row[p] = (int16_t)ks_lvl[p];
+                for (int p = nparts; p < 1024; p++) ks_row[p] = 0;
+            }
+        }
+        code_type_out[v] = recursive ? 1 : 0;
+        porder_out[v] = best_porder;
+        bits_out[v] = best_bits + 2;
+    }
+    delete[] u;
+    delete[] ks_lvl;
+    delete[] mean_lvls;
+}
+
+}  // extern "C"
+
+extern "C" {
+void srla_debug_realfft(double *x, int n, int flag, const double *tw,
+                        const double *rot) {
+    double *work = new double[n];
+    real_fft(n, flag, x, work, tw, rot);
+    delete[] work;
+}
+}
+
+extern "C" {
+void srla_debug_cfft(double *x, int n, int flag, const double *tw) {
+    double *work = new double[2 * n];
+    complex_fft(n, flag, (Cplx *)x, (Cplx *)work, tw);
+    delete[] work;
+}
+}

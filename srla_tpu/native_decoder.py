@@ -17,7 +17,8 @@ import numpy as np
 
 _NATIVE_DIR = os.path.join(os.path.dirname(__file__), "native")
 _SRCS = [os.path.join(_NATIVE_DIR, "srla_decoder.cpp"),
-         os.path.join(_NATIVE_DIR, "srla_assemble.cpp")]
+         os.path.join(_NATIVE_DIR, "srla_assemble.cpp"),
+         os.path.join(_NATIVE_DIR, "srla_exact.cpp")]
 _LOCK = threading.Lock()
 
 
@@ -31,9 +32,14 @@ def _load():
                 or any(os.path.getmtime(so_path) < os.path.getmtime(s)
                        for s in _SRCS)):
             cxx = os.environ.get("CXX", "g++")
-            cmd = [cxx, "-O3", "-fwrapv", "-fPIC", "-shared", "-std=c++17",
-                   *_SRCS, "-o", so_path]
-            subprocess.run(cmd, check=True, capture_output=True)
+            # -ffp-contract=off: the exact-path f64 kernels must round every
+            # multiply/add separately (bit-parity with the host/reference).
+            cmd = [cxx, "-O3", "-fwrapv", "-ffp-contract=off", "-fPIC",
+                   "-shared", "-std=c++17", "-mfma", *_SRCS, "-o", so_path]
+            r = subprocess.run(cmd, check=False, capture_output=True)
+            if r.returncode != 0:  # non-x86 toolchains: retry without -mfma
+                cmd.remove("-mfma")
+                subprocess.run(cmd, check=True, capture_output=True)
     lib = ctypes.CDLL(so_path)
     lib.srla_decode_block.restype = ctypes.c_long
     lib.srla_decode_block.argtypes = [
@@ -61,6 +67,14 @@ def _load():
         [ctypes.c_long] + [ctypes.c_int] * 4
         + [ctypes.c_void_p] * 13
         + [ctypes.c_void_p, ctypes.c_long, ctypes.c_void_p])
+    lib.srla_autocorr_batch.restype = None
+    lib.srla_autocorr_batch.argtypes = [
+        ctypes.c_void_p, ctypes.c_long, ctypes.c_int, ctypes.c_int,
+        ctypes.c_int] + [ctypes.c_void_p] * 6
+    lib.srla_rice_search_batch.restype = None
+    lib.srla_rice_search_batch.argtypes = [
+        ctypes.c_void_p, ctypes.c_long, ctypes.c_int, ctypes.c_int,
+        ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p]
     return lib
 
 
@@ -89,6 +103,67 @@ def _luts():
             length[base:base + (1 << (K - L))] = L
         out.append((sym, length, K))
     return out
+
+
+@lru_cache(maxsize=None)
+def _fft_tables(fft_size: int):
+    """Flattened twiddle/rotor tables (from Python math — platform libm)."""
+    from .dsp.fft import _real_fft_rotors, _stage_twiddles
+    out = {}
+    for flag in (-1, 1):
+        chunks = []
+        for (w1r, w1i, w2r, w2i, w3r, w3i) in _stage_twiddles(fft_size // 2,
+                                                              flag):
+            chunks.append(np.stack(
+                [w1r[:, 0], w1i[:, 0], w2r[:, 0], w2i[:, 0],
+                 w3r[:, 0], w3i[:, 0]], axis=1).ravel())
+        tw = (np.concatenate(chunks) if chunks else np.zeros(0))
+        wr, wi = _real_fft_rotors(fft_size, flag)
+        rot = np.stack([wr, wi], axis=1).ravel()
+        out[flag] = (np.ascontiguousarray(tw), np.ascontiguousarray(rot))
+    return out
+
+
+def autocorr_batch(windowed: np.ndarray, fft_size: int, num_samples: int,
+                   order: int, want_raw: bool = False):
+    """Native exact FFT autocorrelation. windowed: (V, num_samples) f64."""
+    lib = _load()
+    V = windowed.shape[0]
+    buf = np.zeros((V, fft_size))
+    buf[:, :num_samples] = windowed
+    tabs = _fft_tables(fft_size)
+    tw_f, rot_f = tabs[-1]
+    tw_i, rot_i = tabs[1]
+    ac = np.empty((V, order))
+    raw = np.empty((V, fft_size)) if want_raw else None
+
+    def vp(a):
+        return a.ctypes.data_as(ctypes.c_void_p) if a is not None else None
+
+    lib.srla_autocorr_batch(vp(buf), V, fft_size, num_samples, order,
+                            vp(tw_f), vp(rot_f), vp(tw_i), vp(rot_i),
+                            vp(ac), vp(raw))
+    if want_raw:
+        return ac, raw
+    return ac
+
+
+def rice_search_batch(residuals: np.ndarray, n: int, max_porder: int):
+    """Native exact Rice partition search over (V, n) int32 residuals."""
+    lib = _load()
+    residuals = np.ascontiguousarray(residuals, dtype=np.int32)
+    V = residuals.shape[0]
+    ct = np.empty(V, np.int32)
+    po = np.empty(V, np.int32)
+    bits = np.empty(V, np.int64)
+    ks = np.empty((V, 1024), np.int16)
+
+    def vp(a):
+        return a.ctypes.data_as(ctypes.c_void_p)
+
+    lib.srla_rice_search_batch(vp(residuals), V, n, max_porder,
+                               vp(ct), vp(po), vp(bits), vp(ks))
+    return ct, po, bits, ks
 
 
 @lru_cache(maxsize=None)

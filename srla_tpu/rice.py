@@ -119,6 +119,12 @@ def analyze_batch(residuals: np.ndarray, num_samples: int):
         max_porder += 1
     max_porder = min(max_porder - 1, CODER_LOG2_MAX_NUM_PARTITIONS)
 
+    from . import native_decoder
+    if native_decoder.available():
+        ct, po, bits, ks = native_decoder.rice_search_batch(
+            residuals, num_samples, max_porder)
+        return ct, po, bits, ks, uvals
+
     max_uval = uvals.max(axis=1)
     # Leaf sums are exact in f64; coarser means by pairwise merging.
     nleaf = 1 << max_porder

@@ -1,0 +1,105 @@
+"""Native exact-path analysis kernels must be bit-identical to the Python
+host path (which in turn is byte-exact against the reference encoder).
+
+Covers the C++ Stockham FFT (whose complex multiply must reproduce numpy's
+fused-multiply-add rounding), the batched FFT autocorrelation, and the
+batched Rice partition search. (Parity: libs/fft/src/fft.c:71-198,
+libs/lpc/src/lpc.c:330-376, libs/srla_coder/src/srla_coder.c search loops.)
+"""
+
+import ctypes
+
+import numpy as np
+import pytest
+
+from srla_tpu import native_decoder as nd
+from srla_tpu.dsp.fft import complex_fft_c, real_fft, round_up_pow2
+from srla_tpu.rice import analyze_batch
+
+pytestmark = pytest.mark.skipif(not nd.available(),
+                                reason="no native toolchain")
+
+
+def _lib():
+    lib = nd._load()
+    lib.srla_debug_cfft.restype = None
+    lib.srla_debug_cfft.argtypes = [ctypes.c_void_p, ctypes.c_int,
+                                    ctypes.c_int, ctypes.c_void_p]
+    lib.srla_debug_realfft.restype = None
+    lib.srla_debug_realfft.argtypes = [ctypes.c_void_p, ctypes.c_int,
+                                       ctypes.c_int, ctypes.c_void_p,
+                                       ctypes.c_void_p]
+    return lib
+
+
+@pytest.mark.parametrize("n", [4, 8, 16, 32, 512, 2048])
+def test_complex_fft_bit_exact(n):
+    lib = _lib()
+    rng = np.random.RandomState(n)
+    z = rng.randn(n) + 1j * rng.randn(n)
+    buf = np.ascontiguousarray(z.copy().view(np.float64))
+    # note: complex_fft_c may transform in place — pass a copy
+    ref = complex_fft_c(z[None].copy(), -1)[0]
+    tw, _ = nd._fft_tables(2 * n)[-1]
+    lib.srla_debug_cfft(buf.ctypes.data_as(ctypes.c_void_p), n, -1,
+                        tw.ctypes.data_as(ctypes.c_void_p))
+    assert (buf.view(np.complex128) == ref).all()
+
+
+@pytest.mark.parametrize("n", [8, 64, 1024, 4096])
+@pytest.mark.parametrize("flag", [-1, 1])
+def test_real_fft_bit_exact(n, flag):
+    lib = _lib()
+    rng = np.random.RandomState(n + flag)
+    x = rng.randn(n)
+    buf = np.ascontiguousarray(x.copy())
+    ref = real_fft(x[None].copy(), flag)[0]
+    tw, rot = nd._fft_tables(n)[flag]
+    lib.srla_debug_realfft(buf.ctypes.data_as(ctypes.c_void_p), n, flag,
+                           tw.ctypes.data_as(ctypes.c_void_p),
+                           rot.ctypes.data_as(ctypes.c_void_p))
+    assert (buf == ref).all()
+
+
+def _numpy_autocorr(windowed, num_samples, order):
+    fft_size = round_up_pow2(num_samples)
+    B = windowed.shape[0]
+    buf = np.zeros((B, fft_size))
+    buf[:, :num_samples] = windowed
+    buf = real_fft(buf, -1)
+    out = np.empty_like(buf)
+    out[:, 0] = buf[:, 0] * buf[:, 0]
+    out[:, 1] = buf[:, 1] * buf[:, 1]
+    re = buf[:, 2::2]
+    im = buf[:, 3::2]
+    out[:, 2::2] = re * re + im * im
+    out[:, 3::2] = 0.0
+    out = real_fft(out, 1)
+    return out[:, :order] * (2.0 / num_samples), out
+
+
+@pytest.mark.parametrize("V,ns,order", [(7, 4096, 17), (5, 4095, 33),
+                                        (3, 2048, 9), (4, 1027, 65)])
+def test_autocorr_batch_bit_exact(V, ns, order):
+    rng = np.random.RandomState(V)
+    w = rng.randn(V, ns) * 1000
+    ref_ac, ref_raw = _numpy_autocorr(w, ns, order)
+    ac, raw = nd.autocorr_batch(w, round_up_pow2(ns), ns, order, True)
+    assert (ac == ref_ac).all()
+    assert (raw == ref_raw).all()
+
+
+@pytest.mark.parametrize("scale", [0, 3, 300, 100000])
+@pytest.mark.parametrize("n", [4096, 4095])
+def test_rice_search_batch_bit_exact(scale, n, monkeypatch):
+    rng = np.random.RandomState(scale)
+    V = 9
+    res = (rng.randn(V, n) * scale).astype(np.int32)
+    ct, po, bits, ks, _ = analyze_batch(res, n)  # native path
+    monkeypatch.setattr(nd, "available", lambda: False)
+    ct2, po2, bits2, ks2, _ = analyze_batch(res, n)  # numpy oracle
+    assert (ct == ct2).all() and (po == po2).all()
+    assert (bits == bits2).all()
+    for v in range(V):
+        nparts = 1 << int(po[v])
+        assert (ks[v, :nparts] == ks2[v, :nparts]).all()
