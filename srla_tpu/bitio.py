@@ -43,6 +43,21 @@ class BitWriter:
             self._vals.append(v)
             self._nbits.append(np.asarray(n))
 
+    def put_packed(self, buf: np.ndarray, nbits: int) -> None:
+        """Append an already-packed MSB-first byte buffer of nbits bits."""
+        if nbits <= 0:
+            return
+        nwords = (nbits + 31) // 32
+        padded = np.zeros(nwords * 4, dtype=np.uint8)
+        padded[:len(buf)] = buf[:min(len(buf), nwords * 4)]
+        words = padded.view(">u4").astype(np.uint64)
+        widths = np.full(nwords, 32, dtype=np.int64)
+        rem = nbits - 32 * (nwords - 1)
+        widths[-1] = rem
+        words[-1] >>= np.uint64(32 - rem)
+        self._vals.append(words)
+        self._nbits.append(widths)
+
     def put_zero_run(self, runlength) -> None:
         """Emit runlength zeros then a 1 (vectorized over an array of runs)."""
         r = np.atleast_1d(np.asarray(runlength, dtype=np.int64))

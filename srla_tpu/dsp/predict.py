@@ -35,6 +35,9 @@ def lpc_predict(data: np.ndarray, coefs: np.ndarray, orders: np.ndarray,
     """
     B, n = data.shape
     maxorder = coefs.shape[1]
+    from .. import native_decoder
+    if native_decoder.available():
+        return native_decoder.lpc_predict_batch(data, coefs, orders, rshifts)
     x64 = data.astype(np.int64)
     residual = data.astype(np.int32).copy()
 

@@ -263,6 +263,151 @@ void srla_rice_search_batch(
     delete[] mean_lvls;
 }
 
+// Batched forward LPC prediction (wrapping int32, x86 shift semantics).
+// data (B, n) int32; coefs (B, maxorder) int32 left-aligned order-reversed
+// (coef[i] multiplies data[s - order + i]); residual out (B, n) int32.
+// Parity: srla_encoder/src/srla_lpc_predict.c:235-294 (via the host path in
+// srla_tpu/dsp/predict.py — bit-identical decisions).
+void srla_lpc_predict_batch(const int32_t *data, long B, int n,
+                            const int32_t *coefs, int maxorder,
+                            const int32_t *orders, const int32_t *rshifts,
+                            int32_t *out) {
+    for (long b = 0; b < B; b++) {
+        const int32_t *x = data + (long)b * n;
+        int32_t *r = out + (long)b * n;
+        const int o = orders[b];
+        if (o <= 0) {
+            memcpy(r, x, sizeof(int32_t) * (size_t)n);
+            continue;
+        }
+        const int rs = rshifts[b];
+        // C's 1 << (rshift - 1): rshift==0 hits x86 shift-count masking.
+        const int64_t half = (rs > 0) ? ((int64_t)1 << (rs - 1))
+                                      : (int64_t)0x80000000LL;
+        const int32_t *c = coefs + (long)b * maxorder;
+        r[0] = x[0];
+        const int lead = o < n ? o : n;
+        for (int s = 1; s < lead; s++)
+            r[s] = (int32_t)((uint32_t)x[s] - (uint32_t)x[s - 1]);
+        for (int s = o; s < n; s++) {
+            int64_t acc = half;
+            for (int i = 0; i < o; i++)
+                acc += (int64_t)c[i] * x[s - o + i];
+            const int32_t pred = (int32_t)(uint32_t)acc >> rs;
+            r[s] = (int32_t)((uint32_t)x[s] + (uint32_t)pred);
+        }
+    }
+}
+
+namespace {
+
+// Minimal MSB-first bit writer with capacity checking (overflow -> sticky).
+// Invariant: nstage <= 7 after every put, so `stage << take` (take <= 56)
+// never sheds live bits; byte extraction masks garbage above nstage.
+struct ExactWriter {
+    uint8_t *buf;
+    long cap;       // bytes
+    long pos8 = 0;  // full bytes written
+    long total_bits = 0;
+    uint64_t stage = 0;
+    int nstage = 0;
+    bool overflow = false;
+
+    void put(uint64_t v, int nbits) {
+        if (nbits <= 0 || overflow) return;
+        total_bits += nbits;
+        while (nbits > 0) {
+            const int take = nbits > 56 ? 56 : nbits;
+            const uint64_t chunk =
+                (v >> (nbits - take)) & (((uint64_t)1 << take) - 1);
+            stage = (stage << take) | chunk;
+            nstage += take;
+            while (nstage >= 8) {
+                if (pos8 >= cap) { overflow = true; return; }
+                buf[pos8++] = (uint8_t)(stage >> (nstage - 8));
+                nstage -= 8;
+            }
+            nbits -= take;
+        }
+    }
+    void zero_run(int64_t run) {  // run zeros then a terminating 1
+        while (run >= 56 && !overflow) { put(0, 56); run -= 56; }
+        put(1, (int)run + 1);
+    }
+    long finish() {  // byte-pad; returns total bits before padding
+        if (nstage > 0 && !overflow) {
+            if (pos8 >= cap) {
+                overflow = true;
+            } else {
+                const uint8_t pend =
+                    (uint8_t)(stage & (((uint64_t)1 << nstage) - 1));
+                buf[pos8++] = (uint8_t)(pend << (8 - nstage));
+                nstage = 0;
+            }
+        }
+        return overflow ? -1 : total_bits;
+    }
+};
+
+}  // namespace
+
+// Emit one channel-block residual section (code_type + porder + partitioned
+// Rice codes), bit-identical to srla_tpu/rice.py emit_channel. uvals are the
+// zigzag-mapped residuals. Returns the bit count, or -1 on capacity overflow
+// (caller falls back to the Python path).
+long srla_rice_emit(const uint32_t *uvals, int n, int code_type, int porder,
+                    const int32_t *ks, uint8_t *out, long cap) {
+    ExactWriter w{out, cap};
+    w.put((uint64_t)code_type, 2);
+    if (code_type == 2) return w.finish();  // ALLZERO
+    w.put((uint64_t)porder, 10);
+    const int nparts = 1 << porder;
+    const int nsmpl = n >> porder;
+    int32_t prevk = 0;
+    for (int part = 0; part < nparts && !w.overflow; part++) {
+        const int32_t k = ks[part];
+        if (part == 0) {
+            w.put((uint64_t)k, 5);
+        } else {
+            w.zero_run((int64_t)zigzag32(k - prevk));
+        }
+        prevk = k;
+        const uint32_t *u = uvals + (long)part * nsmpl;
+        if (code_type == 0) {  // plain Rice
+            for (int i = 0; i < nsmpl; i++) {
+                const uint32_t q = u[i] >> k;
+                if (q >= 32) {
+                    w.zero_run((int64_t)q);
+                    w.put(u[i], k);
+                } else {
+                    w.put(((uint64_t)1 << k) | (u[i] & (((uint64_t)1 << k) - 1)),
+                          (int)q + 1 + k);
+                }
+            }
+        } else {  // recursive Rice
+            const int k1 = k + 1;
+            const uint64_t k1pow = (uint64_t)1 << k1;
+            for (int i = 0; i < nsmpl; i++) {
+                if (u[i] < k1pow) {
+                    w.put(k1pow | u[i], k1 + 1);
+                } else {
+                    const uint32_t tmp = u[i] - (uint32_t)k1pow;
+                    const uint32_t q = 1 + (tmp >> k);
+                    if (q >= 32) {
+                        w.zero_run((int64_t)q);
+                        w.put(tmp, k);
+                    } else {
+                        w.put(((uint64_t)1 << k)
+                                  | (tmp & (((uint64_t)1 << k) - 1)),
+                              (int)q + 1 + k);
+                    }
+                }
+            }
+        }
+    }
+    return w.finish();
+}
+
 }  // extern "C"
 
 extern "C" {

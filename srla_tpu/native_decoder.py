@@ -75,6 +75,14 @@ def _load():
     lib.srla_rice_search_batch.argtypes = [
         ctypes.c_void_p, ctypes.c_long, ctypes.c_int, ctypes.c_int,
         ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p]
+    lib.srla_lpc_predict_batch.restype = None
+    lib.srla_lpc_predict_batch.argtypes = [
+        ctypes.c_void_p, ctypes.c_long, ctypes.c_int, ctypes.c_void_p,
+        ctypes.c_int, ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p]
+    lib.srla_rice_emit.restype = ctypes.c_long
+    lib.srla_rice_emit.argtypes = [
+        ctypes.c_void_p, ctypes.c_int, ctypes.c_int, ctypes.c_int,
+        ctypes.c_void_p, ctypes.c_void_p, ctypes.c_long]
     return lib
 
 
@@ -146,6 +154,46 @@ def autocorr_batch(windowed: np.ndarray, fft_size: int, num_samples: int,
     if want_raw:
         return ac, raw
     return ac
+
+
+def lpc_predict_batch(data: np.ndarray, coefs: np.ndarray, orders: np.ndarray,
+                      rshifts: np.ndarray) -> np.ndarray:
+    """Native batched int32 LPC forward prediction (exact path)."""
+    lib = _load()
+    data = np.ascontiguousarray(data, np.int32)
+    coefs = np.ascontiguousarray(coefs, np.int32)
+    orders = np.ascontiguousarray(orders, np.int32)
+    rshifts = np.ascontiguousarray(rshifts, np.int32)
+    B, n = data.shape
+    out = np.empty((B, n), np.int32)
+
+    def vp(a):
+        return a.ctypes.data_as(ctypes.c_void_p)
+
+    lib.srla_lpc_predict_batch(vp(data), B, n, vp(coefs), coefs.shape[1],
+                               vp(orders), vp(rshifts), vp(out))
+    return out
+
+
+def rice_emit(uvals: np.ndarray, n: int, code_type: int, porder: int,
+              ks: np.ndarray):
+    """Native residual-section emission -> (packed uint8 array, bit count).
+
+    Returns (None, -1) on capacity overflow (caller falls back to Python)."""
+    lib = _load()
+    u = np.ascontiguousarray(uvals[:n], np.uint32)
+    k = np.ascontiguousarray(ks, np.int32)
+    if code_type != 2 and (k.size < (1 << porder) or u.size < n):
+        return None, -1
+    cap = 64 + n * 16
+    out = np.empty(cap, np.uint8)
+    bits = lib.srla_rice_emit(
+        u.ctypes.data_as(ctypes.c_void_p), n, int(code_type), int(porder),
+        k.ctypes.data_as(ctypes.c_void_p),
+        out.ctypes.data_as(ctypes.c_void_p), cap)
+    if bits < 0:
+        return None, -1
+    return out[:(bits + 7) // 8], int(bits)
 
 
 def rice_search_batch(residuals: np.ndarray, n: int, max_porder: int):

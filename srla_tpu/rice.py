@@ -243,6 +243,15 @@ def emit_channel(writer: BitWriter, uvals: np.ndarray, num_samples: int,
     """Emit one channel-block with precomputed partition parameters, fully
     vectorized: one interleaved (vals, nbits) array covers the partition
     parameters and every sample codeword."""
+    from . import native_decoder
+    if native_decoder.available():
+        nparts_n = 1 << porder
+        buf, nbits = native_decoder.rice_emit(
+            np.asarray(uvals[:num_samples]), num_samples, int(code_type),
+            int(porder), np.asarray(ks[:nparts_n], dtype=np.int64))
+        if nbits >= 0:
+            writer.put_packed(buf, nbits)
+            return
     writer.put(int(code_type), 2)
     if code_type == CodeType.ALLZERO:
         return
