@@ -410,9 +410,31 @@ class SRLAEncoder:
     def _compress_payload(self, params, method_b: int, n: int, b: int,
                           C: int) -> bytes:
         """Assemble one block's compress payload from batched params."""
+        bps = self.p.bits_per_sample
+        from . import native_decoder
+        if native_decoder.available():
+            ltp_o = self.p.ltp_order
+            has_ltp = ltp_o > 0
+            payload, bits = native_decoder.emit_payload(
+                C, bps, n, method_b,
+                [int(p.pre_prev[b]) for p in params],
+                [int(p.pre_coef[b]) for p in params],
+                [int(p.lpc_order[b]) for p in params],
+                [int(p.lpc_rshift[b]) for p in params],
+                [1 if p.use_sum_coef[b] else 0 for p in params],
+                np.stack([p.lpc_coefs[b] for p in params]),
+                ltp_o if has_ltp else 1,
+                [int(p.ltp_period[b]) for p in params] if has_ltp else None,
+                np.stack([p.ltp_coefs[b] for p in params]) if has_ltp
+                else None,
+                np.stack([p.residual[b, :n] for p in params]),
+                [int(p.rice_type[b]) for p in params],
+                [int(p.rice_porder[b]) for p in params],
+                [p.rice_ks[b] for p in params])
+            if payload is not None:
+                return payload
         w = BitWriter()
         w.put(method_b, 2)
-        bps = self.p.bits_per_sample
         for c in range(C):
             pp = params[c]
             w.put(int(sint32_to_uint32(np.int32(pp.pre_prev[b]))), bps + 1)

@@ -351,15 +351,14 @@ struct ExactWriter {
 
 }  // namespace
 
-// Emit one channel-block residual section (code_type + porder + partitioned
-// Rice codes), bit-identical to srla_tpu/rice.py emit_channel. uvals are the
-// zigzag-mapped residuals. Returns the bit count, or -1 on capacity overflow
-// (caller falls back to the Python path).
-long srla_rice_emit(const uint32_t *uvals, int n, int code_type, int porder,
-                    const int32_t *ks, uint8_t *out, long cap) {
-    ExactWriter w{out, cap};
+namespace {
+
+// Residual section body: code_type + porder + partition parameters +
+// plain/recursive Rice codewords (bit-identical to rice.py emit_channel).
+void emit_rice_section(ExactWriter &w, const uint32_t *uvals, int n,
+                       int code_type, int porder, const int32_t *ks) {
     w.put((uint64_t)code_type, 2);
-    if (code_type == 2) return w.finish();  // ALLZERO
+    if (code_type == 2) return;  // ALLZERO
     w.put((uint64_t)porder, 10);
     const int nparts = 1 << porder;
     const int nsmpl = n >> porder;
@@ -405,6 +404,90 @@ long srla_rice_emit(const uint32_t *uvals, int n, int code_type, int porder,
             }
         }
     }
+}
+
+}  // namespace
+
+// Emit one channel-block residual section into packed bytes. Returns the bit
+// count, or -1 on capacity overflow (caller falls back to the Python path).
+long srla_rice_emit(const uint32_t *uvals, int n, int code_type, int porder,
+                    const int32_t *ks, uint8_t *out, long cap) {
+    ExactWriter w{out, cap};
+    emit_rice_section(w, uvals, n, code_type, porder, ks);
+    return w.finish();
+}
+
+// Emit one whole COMPRESS block payload (bit-identical to the host
+// _compress_payload in srla_tpu/encoder.py): stereo method, per-channel
+// pre-emphasis fields, LPC params with Huffman-coded coefficients, LTP
+// fields, then each channel's residual section. residuals are the raw int32
+// values (zigzag happens here). Returns bit count, -1 on capacity overflow
+// (raw block is cheaper), -2 if a coefficient falls outside the 256-entry
+// Huffman tables (caller uses the Python path).
+long srla_emit_payload(
+    int C, int bps, int n, int method,
+    const int32_t *pre_prev, const int32_t *pre_coef,
+    const int32_t *orders, const int32_t *rshifts, const int32_t *use_sum,
+    const int32_t *coefs, int maxorder,
+    const uint32_t *pcodes, const uint8_t *plens,
+    const uint32_t *scodes, const uint8_t *slens,
+    int ltp_order, const int32_t *ltp_periods, const int32_t *ltp_coefs,
+    const int32_t *residuals, const int32_t *rice_ct, const int32_t *rice_po,
+    const int16_t *rice_ks, uint8_t *out, long cap) {
+    ExactWriter w{out, cap};
+    w.put((uint64_t)method, 2);
+    for (int c = 0; c < C; c++) {
+        w.put(zigzag32(pre_prev[c]), bps + 1);
+        w.put(zigzag32(pre_coef[c]), 5);  // PREEMPHASIS_COEF_SHIFT + 1
+    }
+    for (int c = 0; c < C; c++) {
+        const int o = orders[c];
+        w.put((uint64_t)o, 8);            // LPC_COEFFICIENT_ORDER_BITWIDTH
+        w.put((uint64_t)rshifts[c], 4);   // RSHIFT_LPC_COEFFICIENT_BITWIDTH
+        w.put((uint64_t)(use_sum[c] ? 1 : 0), 1);
+        if (o <= 0) continue;
+        const int32_t *cf = coefs + (long)c * maxorder;
+        const uint32_t uv0 = zigzag32(cf[0]);
+        if (uv0 >= 256) return -2;
+        if (!use_sum[c]) {
+            for (int i = 0; i < o; i++) {
+                const uint32_t uv = zigzag32(cf[i]);
+                if (uv >= 256) return -2;
+                w.put(pcodes[uv], plens[uv]);
+            }
+        } else {
+            w.put(pcodes[uv0], plens[uv0]);
+            for (int i = 1; i < o; i++) {
+                const int32_t summed =
+                    (int32_t)((uint32_t)cf[i] + (uint32_t)cf[i - 1]);
+                const uint32_t suv = zigzag32(summed);
+                if (suv >= 256) return -2;
+                w.put(scodes[suv], slens[suv]);
+            }
+        }
+    }
+    for (int c = 0; c < C; c++) {
+        const int per = ltp_periods ? ltp_periods[c] : 0;
+        w.put(per ? 1 : 0, 1);
+        if (per) {
+            w.put((uint64_t)((ltp_order - 1) / 2), 1);  // LTP_ORDER_BITWIDTH
+            w.put((uint64_t)(per - 8), 8);  // LTP_MIN_PERIOD/PERIOD_BITWIDTH
+            const int32_t *lc = ltp_coefs + (long)c * ltp_order;
+            for (int i = 0; i < ltp_order; i++)
+                w.put(zigzag32(lc[i]), 6);  // LTP_COEFFICIENT_BITWIDTH
+        }
+    }
+    uint32_t *u = new uint32_t[n];
+    int32_t ks32[1024];
+    for (int c = 0; c < C && !w.overflow; c++) {
+        const int32_t *res = residuals + (long)c * n;
+        for (int i = 0; i < n; i++) u[i] = zigzag32(res[i]);
+        const int16_t *kr = rice_ks + (long)c * 1024;
+        const int nparts = 1 << rice_po[c];
+        for (int p = 0; p < nparts; p++) ks32[p] = kr[p];
+        emit_rice_section(w, u, n, rice_ct[c], rice_po[c], ks32);
+    }
+    delete[] u;
     return w.finish();
 }
 

@@ -83,6 +83,11 @@ def _load():
     lib.srla_rice_emit.argtypes = [
         ctypes.c_void_p, ctypes.c_int, ctypes.c_int, ctypes.c_int,
         ctypes.c_void_p, ctypes.c_void_p, ctypes.c_long]
+    lib.srla_emit_payload.restype = ctypes.c_long
+    lib.srla_emit_payload.argtypes = (
+        [ctypes.c_int] * 4 + [ctypes.c_void_p] * 6 + [ctypes.c_int]
+        + [ctypes.c_void_p] * 4 + [ctypes.c_int] + [ctypes.c_void_p] * 6
+        + [ctypes.c_void_p, ctypes.c_long])
     return lib
 
 
@@ -194,6 +199,44 @@ def rice_emit(uvals: np.ndarray, n: int, code_type: int, porder: int,
     if bits < 0:
         return None, -1
     return out[:(bits + 7) // 8], int(bits)
+
+
+def emit_payload(C, bps, n, method, pre_prev, pre_coef, orders, rshifts,
+                 use_sum, coefs, ltp_order, ltp_periods, ltp_coefs,
+                 residuals, rice_ct, rice_po, rice_ks):
+    """Native whole-block COMPRESS payload emission -> (bytes, nbits).
+
+    Returns (None, code<0) on overflow (-1: raw is cheaper) or out-of-table
+    coefficients (-2: caller uses the Python path)."""
+    lib = _load()
+    (pcodes, plens), (scodes, slens) = _code_tables()
+
+    def ci(a):
+        return np.ascontiguousarray(a, np.int32)
+
+    def vp(a):
+        return a.ctypes.data_as(ctypes.c_void_p) if a is not None else None
+
+    coefs = ci(coefs)
+    residuals = ci(residuals)
+    ks = np.zeros((C, 1024), np.int16)
+    for c in range(C):
+        row = np.asarray(rice_ks[c]).ravel()
+        ks[c, :min(1024, row.size)] = row[:1024]
+    cap = (bps * n * C) // 8 + 64
+    out = np.empty(cap, np.uint8)
+    args = [C, bps, n, int(method), vp(ci(pre_prev)), vp(ci(pre_coef)),
+            vp(ci(orders)), vp(ci(rshifts)), vp(ci(use_sum)), vp(coefs),
+            coefs.shape[1], vp(pcodes), vp(plens), vp(scodes), vp(slens),
+            int(ltp_order),
+            vp(ci(ltp_periods)) if ltp_periods is not None else None,
+            vp(ci(ltp_coefs)) if ltp_coefs is not None else None,
+            vp(residuals), vp(ci(rice_ct)), vp(ci(rice_po)), vp(ks),
+            vp(out), cap]
+    bits = lib.srla_emit_payload(*args)
+    if bits < 0:
+        return None, int(bits)
+    return out[:(bits + 7) // 8].tobytes(), int(bits)
 
 
 def rice_search_batch(residuals: np.ndarray, n: int, max_porder: int):
