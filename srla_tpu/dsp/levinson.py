@@ -28,6 +28,10 @@ def _recursion(auto_corr: np.ndarray, max_order: int, collect_orders=None):
              collected coefs (B, max_order) if collect_orders given else None).
     collect_orders: (B,) int — per-block order whose coefficient vector to keep.
     """
+    from .. import native_decoder
+    if native_decoder.available():
+        return native_decoder.levinson_batch(auto_corr, max_order,
+                                             collect_orders)
     B = auto_corr.shape[0]
     error_vars = np.zeros((B, max_order + 1))
     parcor = np.zeros((B, max_order))

@@ -28,6 +28,9 @@ def calculate_coefficient(data: np.ndarray, num_samples: int) -> np.ndarray:
     Replicates the reference accumulation pattern: r0 spans all n samples,
     r1 spans lags (0..n-2)x(1..n-1).
     """
+    from .. import native_decoder
+    if native_decoder.available():
+        return native_decoder.preemph_coef_batch(data, num_samples)
     d = data[:, :num_samples].astype(np.float64)
     x = data[:, :num_samples].astype(np.int64)
     ir0 = (x * x).sum(axis=1)
@@ -59,6 +62,9 @@ def calculate_coefficient(data: np.ndarray, num_samples: int) -> np.ndarray:
 
 def preemphasis(data: np.ndarray, coef: np.ndarray, prev: np.ndarray) -> np.ndarray:
     """y[i] = x[i] - ((x[i-1]*coef) >> 4), x[-1] = prev.  (B, n) int32 -> int32."""
+    from .. import native_decoder
+    if native_decoder.available():
+        return native_decoder.preemphasis_batch(data, coef, prev)
     x = data.astype(np.int64)
     shifted = np.empty_like(x)
     shifted[:, 0] = prev.astype(np.int64)

@@ -223,7 +223,7 @@ class SRLAEncoder:
             residual = work.copy()
 
         # 13. Exact bit accounting (vectorized over the batch).
-        rice_type, rice_porder, rice_bits, rice_ks, _ = rice.analyze_batch(
+        rice_type, rice_porder, rice_bits, rice_ks = rice.analyze_batch(
             residual[:, :n], n)
         code_length, use_sum = self._account_bits(
             rice_bits, orders, int_coefs, ltp_period, ltp_order)
@@ -569,7 +569,7 @@ class SRLAEncoder:
             # (analysis + residual packing on TPU); small groups stay host.
             if self.backend == "tpu" and len(idxs) * max(C, 2) >= 8 \
                     and size % 2 == 0:
-                results.update(self._encode_group_device(
+                results.update(self._encode_group_hybrid(
                     pcm, spans, idxs, size, offset_lshift))
                 continue
             if size % 2 == 1:
@@ -587,13 +587,8 @@ class SRLAEncoder:
                                                     params, int(method[0]),
                                                     0, C)
                 continue
-            blocks = np.stack([pcm[:, spans[i][0]:spans[i][0] + size]
-                               for i in idxs])
-            method, params, _bits = self._compute_coefficients(
-                blocks.astype(np.int32), size, offset_lshift)
-            for bi, i in enumerate(idxs):
-                results[i] = self._finish_block(pcm, spans, i, size, params,
-                                                int(method[bi]), bi, C)
+            results.update(self._encode_host_batch(pcm, spans, idxs, size,
+                                                   offset_lshift))
         for i, (off, size) in enumerate(spans):
             if types[i] == BlockDataType.SILENT:
                 results[i] = frame_block(BlockDataType.SILENT, size, b"")
@@ -603,6 +598,49 @@ class SRLAEncoder:
                     BlockDataType.RAW, size,
                     self._raw_payload(blk.astype(np.int32), size))
         return [results[i] for i in range(len(spans))]
+
+    def _encode_host_batch(self, pcm, spans, idxs, size, offset_lshift):
+        """Host-native batched encode of even-size blocks."""
+        C = pcm.shape[0]
+        blocks = np.stack([pcm[:, spans[i][0]:spans[i][0] + size]
+                           for i in idxs])
+        method, params, _bits = self._compute_coefficients(
+            blocks.astype(np.int32), size, offset_lshift)
+        return {i: self._finish_block(pcm, spans, i, size, params,
+                                      int(method[bi]), bi, C)
+                for bi, i in enumerate(idxs)}
+
+    def _encode_group_hybrid(self, pcm, spans, idxs, size, offset_lshift):
+        """Split a large group between the device pipeline and the native
+        host path, overlapping them: the device thread is mostly blocked on
+        dispatch/transfer I/O (GIL released), so the host thread encodes its
+        share concurrently. Both paths emit byte-identical blocks, so any
+        split produces the same stream."""
+        from . import native_decoder as nd_mod
+        import os
+        # 0.45 empirically balances the tunnel-fed device pipeline against
+        # the native host path on this class of host (see NOTES.md ledger).
+        try:
+            host_share = float(os.environ.get("SRLA_TPU_HOST_SHARE", "0.45"))
+        except ValueError:
+            host_share = 0.45
+        n_host = int(len(idxs) * host_share)
+        if n_host < 64 or not nd_mod.available():
+            return self._encode_group_device(pcm, spans, idxs, size,
+                                             offset_lshift)
+        if n_host >= len(idxs):  # host_share ~1: skip the device entirely
+            return self._encode_host_batch(pcm, spans, idxs, size,
+                                           offset_lshift)
+        import concurrent.futures as cf
+        idxs_dev, idxs_host = idxs[:-n_host], idxs[-n_host:]
+        results = {}
+        with cf.ThreadPoolExecutor(1) as ex:
+            fut = ex.submit(self._encode_group_device, pcm, spans, idxs_dev,
+                            size, offset_lshift)
+            results.update(self._encode_host_batch(pcm, spans, idxs_host,
+                                                   size, offset_lshift))
+            results.update(fut.result())
+        return results
 
     def _finish_block(self, pcm, spans, i, size, params, method_b, bi, C):
         """Assemble a compress payload, applying the raw-size fallback."""

@@ -299,6 +299,109 @@ void srla_lpc_predict_batch(const int32_t *data, long B, int n,
     }
 }
 
+// Batched Levinson-Durbin recursion (f64, identical rounding order to the
+// host path / reference; parity: libs/lpc/src/lpc.c:379-441). Emits error
+// variances at every order, PARCOR coefficients, and optionally the LPC
+// coefficient vector at a per-block selected order.
+void srla_levinson_batch(const double *auto_corr, long B, int max_order,
+                         const int32_t *collect_orders,
+                         double *error_vars, double *parcor,
+                         double *collected) {
+    const double FLT_EPS = 1.1920928955078125e-07;
+    double *a_prev = new double[max_order + 2];
+    double *a_cur = new double[max_order + 2];
+    for (long b = 0; b < B; b++) {
+        const double *ac = auto_corr + (long)b * (max_order + 1);
+        double *ev = error_vars + (long)b * (max_order + 1);
+        double *pc = parcor + (long)b * max_order;
+        double *col = collected ? collected + (long)b * max_order : nullptr;
+        if (col) memset(col, 0, sizeof(double) * max_order);
+        for (int i = 0; i <= max_order + 1; i++) a_prev[i] = a_cur[i] = 0.0;
+        const double r0 = ac[0];
+        a_prev[0] = 1.0;
+        ev[0] = r0;
+        a_prev[1] = -ac[1] / r0;
+        pc[0] = ac[1] / r0;
+        ev[1] = r0 + ac[1] * a_prev[1];
+        if (col && collect_orders[b] == 1) col[0] = a_prev[1];
+        for (int k = 1; k < max_order; k++) {
+            double gamma = 0.0;
+            for (int i = 0; i <= k; i++) gamma += a_prev[i] * ac[k + 1 - i];
+            gamma /= -ev[k];
+            ev[k + 1] = ev[k] * (1.0 - gamma * gamma);
+            for (int i = 0; i <= k + 1; i++)
+                a_cur[i] = a_prev[i] + gamma * a_prev[k + 1 - i];
+            if (k + 2 <= max_order + 1) a_cur[k + 2] = 0.0;  // next iter reads it
+            pc[k] = -gamma;
+            if (col && collect_orders[b] == k + 1)
+                for (int i = 0; i <= k; i++) col[i] = a_cur[1 + i];
+            double *t = a_prev; a_prev = a_cur; a_cur = t;
+        }
+        if (fabs(r0) < FLT_EPS) {
+            for (int i = 0; i <= max_order; i++) ev[i] = r0;
+            for (int i = 0; i < max_order; i++) pc[i] = 0.0;
+            if (col) memset(col, 0, sizeof(double) * max_order);
+        }
+    }
+    delete[] a_prev;
+    delete[] a_cur;
+}
+
+// Batched pre-emphasis coefficient estimation (order-1 normalized
+// autocorrelation; parity: libs/srla_internal/src/srla_utility.c:206-378 via
+// srla_tpu/dsp/preemphasis.py). Integer sums below 2^53 are exact in f64 in
+// any order; larger sums replay the reference's sequential f64 accumulation.
+void srla_preemph_coef_batch(const int32_t *data, long B, int n,
+                             int32_t *coef) {
+    const double EXACT_LIMIT = 9007199254740992.0;  // 2^53
+    for (long b = 0; b < B; b++) {
+        const int32_t *x = data + (long)b * n;
+        int64_t ir0 = 0, ir1 = 0;
+        for (int i = 0; i < n; i++) ir0 += (int64_t)x[i] * x[i];
+        for (int i = 0; i + 1 < n; i++) ir1 += (int64_t)x[i] * x[i + 1];
+        double r0 = (double)ir0, r1 = (double)ir1;
+        if (!(fabs(r0) < EXACT_LIMIT && fabs(r1) < EXACT_LIMIT)) {
+            double acc0 = 0.0, acc1 = 0.0;
+            for (int i = 0; i + 1 < n; i++) {
+                acc0 += (double)x[i] * (double)x[i];
+                acc1 += (double)x[i] * (double)x[i + 1];
+            }
+            acc0 += (double)x[n - 1] * (double)x[n - 1];
+            r0 = acc0;
+            r1 = acc1;
+        }
+        int32_t c = 0;
+        if (r0 >= 1e-6) {
+            const double dc = r1 / r0;
+            const double scaled = dc * 16.0;  // 1 << PREEMPHASIS_COEF_SHIFT
+            double q = (scaled >= 0.0) ? floor(scaled + 0.5)
+                                       : -floor(-scaled + 0.5);
+            if (q < -16.0) q = -16.0;
+            if (q > 15.0) q = 15.0;
+            c = (int32_t)q;
+        }
+        coef[b] = c;
+    }
+}
+
+// Batched pre-emphasis filter: y[i] = x[i] - ((x[i-1]*coef) >> 4).
+void srla_preemphasis_batch(const int32_t *data, long B, int n,
+                            const int32_t *coef, const int32_t *prev,
+                            int32_t *out) {
+    for (long b = 0; b < B; b++) {
+        const int32_t *x = data + (long)b * n;
+        int32_t *y = out + (long)b * n;
+        const int64_t c = coef[b];
+        int64_t p = prev[b];
+        for (int i = 0; i < n; i++) {
+            const int32_t pr = (int32_t)(uint32_t)(p * c) >> 4;
+            const int32_t xi = x[i];
+            y[i] = (int32_t)((uint32_t)xi - (uint32_t)pr);
+            p = xi;
+        }
+    }
+}
+
 namespace {
 
 // Minimal MSB-first bit writer with capacity checking (overflow -> sticky).

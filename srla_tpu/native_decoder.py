@@ -83,6 +83,17 @@ def _load():
     lib.srla_rice_emit.argtypes = [
         ctypes.c_void_p, ctypes.c_int, ctypes.c_int, ctypes.c_int,
         ctypes.c_void_p, ctypes.c_void_p, ctypes.c_long]
+    lib.srla_levinson_batch.restype = None
+    lib.srla_levinson_batch.argtypes = [
+        ctypes.c_void_p, ctypes.c_long, ctypes.c_int, ctypes.c_void_p,
+        ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p]
+    lib.srla_preemph_coef_batch.restype = None
+    lib.srla_preemph_coef_batch.argtypes = [
+        ctypes.c_void_p, ctypes.c_long, ctypes.c_int, ctypes.c_void_p]
+    lib.srla_preemphasis_batch.restype = None
+    lib.srla_preemphasis_batch.argtypes = [
+        ctypes.c_void_p, ctypes.c_long, ctypes.c_int, ctypes.c_void_p,
+        ctypes.c_void_p, ctypes.c_void_p]
     lib.srla_emit_payload.restype = ctypes.c_long
     lib.srla_emit_payload.argtypes = (
         [ctypes.c_int] * 4 + [ctypes.c_void_p] * 6 + [ctypes.c_int]
@@ -199,6 +210,51 @@ def rice_emit(uvals: np.ndarray, n: int, code_type: int, porder: int,
     if bits < 0:
         return None, -1
     return out[:(bits + 7) // 8], int(bits)
+
+
+def levinson_batch(auto_corr: np.ndarray, max_order: int,
+                   collect_orders: np.ndarray | None):
+    """Native Levinson-Durbin -> (error_vars, parcor, collected|None)."""
+    lib = _load()
+    ac = np.ascontiguousarray(auto_corr, np.float64)
+    B = ac.shape[0]
+    ev = np.empty((B, max_order + 1))
+    pc = np.empty((B, max_order))
+    col = np.empty((B, max_order)) if collect_orders is not None else None
+    co = (np.ascontiguousarray(collect_orders, np.int32)
+          if collect_orders is not None else None)
+
+    def vp(a):
+        return a.ctypes.data_as(ctypes.c_void_p) if a is not None else None
+
+    lib.srla_levinson_batch(vp(ac), B, max_order, vp(co), vp(ev), vp(pc),
+                            vp(col))
+    return ev, pc, col
+
+
+def preemph_coef_batch(data: np.ndarray, n: int) -> np.ndarray:
+    lib = _load()
+    data = np.ascontiguousarray(data[:, :n], np.int32)
+    B = data.shape[0]
+    coef = np.empty(B, np.int32)
+    lib.srla_preemph_coef_batch(data.ctypes.data_as(ctypes.c_void_p), B, n,
+                                coef.ctypes.data_as(ctypes.c_void_p))
+    return coef
+
+
+def preemphasis_batch(data: np.ndarray, coef: np.ndarray,
+                      prev: np.ndarray) -> np.ndarray:
+    lib = _load()
+    data = np.ascontiguousarray(data, np.int32)
+    coef = np.ascontiguousarray(coef, np.int32)
+    prev = np.ascontiguousarray(prev, np.int32)
+    B, n = data.shape
+    out = np.empty((B, n), np.int32)
+    lib.srla_preemphasis_batch(data.ctypes.data_as(ctypes.c_void_p), B, n,
+                               coef.ctypes.data_as(ctypes.c_void_p),
+                               prev.ctypes.data_as(ctypes.c_void_p),
+                               out.ctypes.data_as(ctypes.c_void_p))
+    return out
 
 
 def emit_payload(C, bps, n, method, pre_prev, pre_coef, orders, rshifts,

@@ -107,13 +107,12 @@ def analyze_batch(residuals: np.ndarray, num_samples: int):
     """Exact, fully vectorized partition search over a batch (V, n).
 
     Returns (code_type (V,), best_porder (V,), min_bits (V,) int64,
-    ks (V, 1024) int16, uvals (V, n) int64). Bit-identical decisions to the
-    scalar `analyze` (f64 means are exact; the plain-Rice libm chain uses
-    rice_k_array's tie repair).
+    ks (V, 1024) int16). Bit-identical decisions to the scalar `analyze`
+    (f64 means are exact; the plain-Rice libm chain uses rice_k_array's
+    tie repair).
     """
     V, n = residuals.shape
     assert n == num_samples
-    uvals = sint32_to_uint32(residuals.astype(np.int32)).astype(np.int64)
     max_porder = 1
     while num_samples % (1 << max_porder) == 0:
         max_porder += 1
@@ -121,10 +120,10 @@ def analyze_batch(residuals: np.ndarray, num_samples: int):
 
     from . import native_decoder
     if native_decoder.available():
-        ct, po, bits, ks = native_decoder.rice_search_batch(
+        return native_decoder.rice_search_batch(
             residuals, num_samples, max_porder)
-        return ct, po, bits, ks, uvals
 
+    uvals = sint32_to_uint32(residuals.astype(np.int32)).astype(np.int64)
     max_uval = uvals.max(axis=1)
     # Leaf sums are exact in f64; coarser means by pairwise merging.
     nleaf = 1 << max_porder
@@ -180,7 +179,7 @@ def analyze_batch(residuals: np.ndarray, num_samples: int):
                                   int(CodeType.RICE))).astype(np.int32)
     min_bits = np.where(allzero, 0, best_bits) + 2
     best_porder = np.where(allzero, 0, best_porder)
-    return code_type, best_porder, min_bits.astype(np.int64), best_ks, uvals
+    return code_type, best_porder, min_bits.astype(np.int64), best_ks
 
 
 def analyze(residual: np.ndarray, num_samples: int) -> RiceAnalysis:

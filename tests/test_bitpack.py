@@ -4,7 +4,7 @@ import numpy as np
 import pytest
 
 from srla_tpu import rice
-from srla_tpu.bitio import BitWriter
+from srla_tpu.bitio import BitWriter, sint32_to_uint32
 
 
 def _cases(n):
@@ -25,7 +25,8 @@ def test_device_pack_matches_host_emitter():
     from srla_tpu.kernels.bitpack import pack_residual_sections
     n = 4096
     res = _cases(n)
-    ct, po, bits, ks, uvals = rice.analyze_batch(res, n)
+    ct, po, bits, ks = rice.analyze_batch(res, n)
+    uvals = sint32_to_uint32(res.astype(np.int32)).astype(np.int64)
     W = 4096 * 30 // 32
     words, total = pack_residual_sections(
         jnp.asarray(uvals.astype(np.uint32)), jnp.asarray(ct),

@@ -95,9 +95,9 @@ def test_rice_search_batch_bit_exact(scale, n, monkeypatch):
     rng = np.random.RandomState(scale)
     V = 9
     res = (rng.randn(V, n) * scale).astype(np.int32)
-    ct, po, bits, ks, _ = analyze_batch(res, n)  # native path
+    ct, po, bits, ks = analyze_batch(res, n)  # native path
     monkeypatch.setattr(nd, "available", lambda: False)
-    ct2, po2, bits2, ks2, _ = analyze_batch(res, n)  # numpy oracle
+    ct2, po2, bits2, ks2 = analyze_batch(res, n)  # numpy oracle
     assert (ct == ct2).all() and (po == po2).all()
     assert (bits == bits2).all()
     for v in range(V):
