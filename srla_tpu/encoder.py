@@ -185,18 +185,33 @@ class SRLAEncoder:
         int_coefs = np.zeros((B, max(max_params, 1)), dtype=np.int32)
         if max_params > 0:
             norm = 2.0 ** (-(bps - 1))
-            dbl = work.astype(np.float64) * norm
             win = welch_window(n)
-            windowed = dbl * win
-            if n & 1:
-                windowed[:, n // 2] = (0.0 if state is None
-                                       else state[n // 2])
-            if want_state:
-                ac, raw = autocorr_fft(windowed, n, max_params + 1,
-                                       want_raw=True)
-                state = raw[0]
+            from . import native_decoder as _nd
+            dbl = None
+            if _nd.available():
+                # Fused native path: normalize+window+pad+FFT in one pass.
+                mid = 0.0 if state is None else float(state[n // 2])
+                if want_state:
+                    ac, raw = _nd.window_autocorr_batch(
+                        work, n, norm, win, bool(n & 1), mid,
+                        round_up_pow2(n), max_params + 1, want_raw=True)
+                    state = raw[0]
+                else:
+                    ac = _nd.window_autocorr_batch(
+                        work, n, norm, win, bool(n & 1), mid,
+                        round_up_pow2(n), max_params + 1)
             else:
-                ac = autocorr_fft(windowed, n, max_params + 1)
+                dbl = work.astype(np.float64) * norm
+                windowed = dbl * win
+                if n & 1:
+                    windowed[:, n // 2] = (0.0 if state is None
+                                           else state[n // 2])
+                if want_state:
+                    ac, raw = autocorr_fft(windowed, n, max_params + 1,
+                                           want_raw=True)
+                    state = raw[0]
+                else:
+                    ac = autocorr_fft(windowed, n, max_params + 1)
             ac[:, 0] = ac[:, 0] * (1.0 + LPC_RIDGE_REGULARIZATION_PARAMETER)
             error_vars, _ = levinson_error_vars(ac, max_params)
             # Window energy correction (applied before order selection).
@@ -206,6 +221,8 @@ class SRLAEncoder:
             coefs_f = levinson_coefs_at(ac, max_params, orders)
             # (SVR refinement hook: num_svr_filter_learning_iteration > 0.)
             if self.p.num_svr_filter_learning_iteration > 0:
+                if dbl is None:
+                    dbl = work.astype(np.float64) * norm
                 coefs_f = self._svr_refine(dbl, coefs_f, orders, n)
             int_coefs, rshifts = quantize_coefficients(
                 coefs_f, orders, LPC_COEFFICIENT_BITWIDTH,

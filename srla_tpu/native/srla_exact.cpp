@@ -150,6 +150,48 @@ void srla_autocorr_batch(
     delete[] work;
 }
 
+// Fused batched window + FFT autocorrelation: int32 signal -> normalize by
+// `norm` -> multiply by the Welch window -> (optional odd-length middle
+// sample patch from the stale work buffer) -> zero-pad -> real FFT ->
+// |X|^2 -> inverse real FFT -> scale by 2/n. Identical rounding to the
+// Python chain in srla_tpu/encoder.py _analyze_channel.
+void srla_window_autocorr_batch(
+    const int32_t *sig, long V, int n, double norm, const double *win,
+    int has_mid, double mid_value,
+    int fft_size, int order,
+    const double *tw_fwd, const double *rot_fwd,
+    const double *tw_inv, const double *rot_inv,
+    double *auto_corr, double *raw_out) {
+    double *work = new double[fft_size];
+    double *buf = new double[fft_size];
+    const double scale = 2.0 / n;
+    const int take = order < fft_size ? order : fft_size;
+    for (long v = 0; v < V; v++) {
+        const int32_t *x = sig + (long)v * n;
+        for (int i = 0; i < n; i++) buf[i] = ((double)x[i] * norm) * win[i];
+        if (has_mid) buf[n / 2] = mid_value;
+        for (int i = n; i < fft_size; i++) buf[i] = 0.0;
+        real_fft(fft_size, -1, buf, work, tw_fwd, rot_fwd);
+        buf[0] *= buf[0];
+        buf[1] *= buf[1];
+        for (int i = 2; i < fft_size; i += 2) {
+            const double re = buf[i];
+            const double im = buf[i + 1];
+            buf[i] = re * re + im * im;
+            buf[i + 1] = 0.0;
+        }
+        real_fft(fft_size, 1, buf, work, tw_inv, rot_inv);
+        double *ac = auto_corr + (long)v * order;
+        for (int i = 0; i < take; i++) ac[i] = buf[i] * scale;
+        for (int i = take; i < order; i++) ac[i] = 0.0;
+        if (raw_out)
+            memcpy(raw_out + (long)v * fft_size, buf,
+                   sizeof(double) * fft_size);
+    }
+    delete[] work;
+    delete[] buf;
+}
+
 // Batched Rice partition search (exact; same decisions as the reference).
 // residuals: (V, n) int32. Outputs per variant: code_type, best_porder,
 // min_bits, ks (V, 1024) int16.

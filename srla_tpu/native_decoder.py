@@ -83,6 +83,11 @@ def _load():
     lib.srla_rice_emit.argtypes = [
         ctypes.c_void_p, ctypes.c_int, ctypes.c_int, ctypes.c_int,
         ctypes.c_void_p, ctypes.c_void_p, ctypes.c_long]
+    lib.srla_window_autocorr_batch.restype = None
+    lib.srla_window_autocorr_batch.argtypes = [
+        ctypes.c_void_p, ctypes.c_long, ctypes.c_int, ctypes.c_double,
+        ctypes.c_void_p, ctypes.c_int, ctypes.c_double,
+        ctypes.c_int, ctypes.c_int] + [ctypes.c_void_p] * 6
     lib.srla_levinson_batch.restype = None
     lib.srla_levinson_batch.argtypes = [
         ctypes.c_void_p, ctypes.c_long, ctypes.c_int, ctypes.c_void_p,
@@ -210,6 +215,32 @@ def rice_emit(uvals: np.ndarray, n: int, code_type: int, porder: int,
     if bits < 0:
         return None, -1
     return out[:(bits + 7) // 8], int(bits)
+
+
+def window_autocorr_batch(sig: np.ndarray, n: int, norm: float,
+                          win: np.ndarray, has_mid: bool, mid_value: float,
+                          fft_size: int, order: int, want_raw: bool = False):
+    """Fused normalize+window+FFT autocorrelation over int32 (V, n) signal."""
+    lib = _load()
+    sig = np.ascontiguousarray(sig[:, :n], np.int32)
+    win = np.ascontiguousarray(win, np.float64)
+    V = sig.shape[0]
+    tabs = _fft_tables(fft_size)
+    tw_f, rot_f = tabs[-1]
+    tw_i, rot_i = tabs[1]
+    ac = np.empty((V, order))
+    raw = np.empty((V, fft_size)) if want_raw else None
+
+    def vp(a):
+        return a.ctypes.data_as(ctypes.c_void_p) if a is not None else None
+
+    lib.srla_window_autocorr_batch(vp(sig), V, n, float(norm), vp(win),
+                                   1 if has_mid else 0, float(mid_value),
+                                   fft_size, order, vp(tw_f), vp(rot_f),
+                                   vp(tw_i), vp(rot_i), vp(ac), vp(raw))
+    if want_raw:
+        return ac, raw
+    return ac
 
 
 def levinson_batch(auto_corr: np.ndarray, max_order: int,
