@@ -627,36 +627,78 @@ class SRLAEncoder:
                                       int(method[bi]), bi, C)
                 for bi, i in enumerate(idxs)}
 
+    # Hybrid scheduling knobs. Chunk sizes trade steal granularity against
+    # per-round dispatch/transfer latency; the device chunk is a multiple of
+    # its 128-block compile bucket. SRLA_TPU_HOST_SHARE=0 disables the host
+    # thread, =1 disables the device.
+    _HYBRID_DEV_CHUNK = 256
+    _HYBRID_HOST_CHUNK = 64
+
     def _encode_group_hybrid(self, pcm, spans, idxs, size, offset_lshift):
-        """Split a large group between the device pipeline and the native
-        host path, overlapping them: the device thread is mostly blocked on
-        dispatch/transfer I/O (GIL released), so the host thread encodes its
-        share concurrently. Both paths emit byte-identical blocks, so any
-        split produces the same stream."""
-        from . import native_decoder as nd_mod
+        """Work-stealing split of a large group between the device pipeline
+        and the native host path. The device worker consumes chunks from the
+        front of a shared queue with a one-deep software pipeline (the next
+        chunk's analysis is dispatched before the current chunk's results
+        are fetched, hiding tunnel latency); the host thread steals from the
+        back. Both paths emit byte-identical blocks, so any split produces
+        the same stream, and the faster side automatically does more."""
         import os
-        # 0.45 empirically balances the tunnel-fed device pipeline against
-        # the native host path on this class of host (see NOTES.md ledger).
-        try:
-            host_share = float(os.environ.get("SRLA_TPU_HOST_SHARE", "0.45"))
-        except ValueError:
-            host_share = 0.45
-        n_host = int(len(idxs) * host_share)
-        if n_host < 64 or not nd_mod.available():
+        import threading
+        import concurrent.futures as cf
+
+        from . import native_decoder as nd_mod
+
+        share = os.environ.get("SRLA_TPU_HOST_SHARE", "")
+        if share == "0" or not nd_mod.available() \
+                or len(idxs) < 3 * self._HYBRID_HOST_CHUNK:
             return self._encode_group_device(pcm, spans, idxs, size,
                                              offset_lshift)
-        if n_host >= len(idxs):  # host_share ~1: skip the device entirely
+        if share == "1":
             return self._encode_host_batch(pcm, spans, idxs, size,
                                            offset_lshift)
-        import concurrent.futures as cf
-        idxs_dev, idxs_host = idxs[:-n_host], idxs[-n_host:]
-        results = {}
+
+        pending = list(idxs)
+        lock = threading.Lock()
+
+        def take(k, from_front):
+            with lock:
+                k = min(k, len(pending))
+                if k == 0:
+                    return []
+                if from_front:
+                    chunk, rest = pending[:k], pending[k:]
+                else:
+                    chunk, rest = pending[-k:], pending[:-k]
+                pending[:] = rest
+                return chunk
+
+        dev_results: dict[int, bytes] = {}
+
+        def dev_worker():
+            st = None
+            while True:
+                chunk = take(self._HYBRID_DEV_CHUNK, True)
+                nxt = (self._device_dispatch(pcm, spans, chunk, size,
+                                             offset_lshift)
+                       if chunk else None)
+                if st is not None:
+                    dev_results.update(self._device_finish(
+                        st, pcm, spans, size, offset_lshift))
+                if nxt is None:
+                    return
+                st = nxt
+
+        results: dict[int, bytes] = {}
         with cf.ThreadPoolExecutor(1) as ex:
-            fut = ex.submit(self._encode_group_device, pcm, spans, idxs_dev,
-                            size, offset_lshift)
-            results.update(self._encode_host_batch(pcm, spans, idxs_host,
-                                                   size, offset_lshift))
-            results.update(fut.result())
+            fut = ex.submit(dev_worker)
+            while True:
+                chunk = take(self._HYBRID_HOST_CHUNK, False)
+                if not chunk:
+                    break
+                results.update(self._encode_host_batch(
+                    pcm, spans, chunk, size, offset_lshift))
+            fut.result()
+        results.update(dev_results)
         return results
 
     def _finish_block(self, pcm, spans, i, size, params, method_b, bi, C):
@@ -736,14 +778,11 @@ class SRLAEncoder:
             pos += B
         return stack
 
-    def _encode_group_device(self, pcm: np.ndarray, spans, idxs, size: int,
-                             offset_lshift: int) -> dict[int, bytes]:
-        """Encode one equal-size block group with on-device analysis AND
-        on-device residual packing; only parameters and the compacted packed
-        sections cross the (slow) device->host link."""
-        import jax
-
-        from .kernels.encode import analyze_blocks_ex, pack_chosen
+    def _device_dispatch(self, pcm, spans, idxs, size: int,
+                         offset_lshift: int) -> dict:
+        """Upload one equal-size group and dispatch its on-device analysis
+        (async); returns handles for _device_finish."""
+        from .kernels.encode import analyze_blocks_ex
 
         C = pcm.shape[0]
         B = len(idxs)
@@ -759,7 +798,29 @@ class SRLAEncoder:
         W = (size * (bps + 4)) // 32 + 64
         small, big = analyze_blocks_ex(
             padded, np.int32(offset_lshift), C=C, **self._device_args(size))
-        small = jax.device_get(small)
+        return dict(idxs=idxs, small=small, big=big, B=B, Bp=Bp, W=W, C=C)
+
+    def _encode_group_device(self, pcm: np.ndarray, spans, idxs, size: int,
+                             offset_lshift: int) -> dict[int, bytes]:
+        """Encode one equal-size block group with on-device analysis AND
+        on-device residual packing; only parameters and the compacted packed
+        sections cross the (slow) device->host link."""
+        st = self._device_dispatch(pcm, spans, idxs, size, offset_lshift)
+        return self._device_finish(st, pcm, spans, size, offset_lshift)
+
+    def _device_finish(self, st: dict, pcm, spans, size: int,
+                       offset_lshift: int) -> dict[int, bytes]:
+        """Fetch a dispatched group's analysis, select variants, pack the
+        chosen rows on device, and assemble framed blocks."""
+        import jax
+
+        from .kernels.encode import pack_chosen
+
+        idxs = st["idxs"]
+        big = st["big"]
+        C, B, Bp, W = st["C"], st["B"], st["Bp"], st["W"]
+        bps = self.p.bits_per_sample
+        small = jax.device_get(st["small"])
         sec_bits = small["section_bits"].astype(np.int64)
         orders = small["orders"]
         maxp = max(self.preset.max_num_parameters, 1)
