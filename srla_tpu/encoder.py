@@ -883,9 +883,12 @@ class SRLAEncoder:
             starts = (np.cumsum(lens_w) - lens_w).astype(np.int32)
             total = int(lens_w.sum())
             cap = ((total + 65535) // 65536) * 65536
+            import os
             flat = pack_chosen(big["u"], big["code_type"], big["porder"],
                                big["ks"], rows, starts, lens_w,
-                               n=size, W=W, cap=cap)
+                               n=size, W=W, cap=cap,
+                               impl=os.environ.get("SRLA_PACK_IMPL",
+                                                   "scatter"))
             flat = np.asarray(jax.device_get(flat)).astype(">u4")
             flat_bytes = flat.tobytes()
 

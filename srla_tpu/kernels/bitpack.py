@@ -41,14 +41,8 @@ def _plane_sum(word_ids: jnp.ndarray, values: jnp.ndarray, W: int):
     return buf[:, :W]
 
 
-def pack_monotone_stream(offsets: jnp.ndarray, tails: jnp.ndarray,
-                         tbits: jnp.ndarray, W: int) -> jnp.ndarray:
-    """Pack one stream of codeword tails into (B, W) uint32 words (MSB-first).
-
-    offsets: (B, T) absolute bit positions of each tail, non-decreasing along
-    T. tails: (B, T) uint32 (low `tbits` bits significant). tbits: (B, T),
-    0 = masked slot. Entries with offset >= W*32 are dropped.
-    """
+def _word_splits(offsets, tails, tbits, W: int):
+    """Per-entry word index and the two word-aligned contributions."""
     offsets = offsets.astype(jnp.int32)
     tails = tails.astype(jnp.uint32)
     tbits = tbits.astype(jnp.int32)
@@ -68,11 +62,59 @@ def pack_monotone_stream(offsets: jnp.ndarray, tails: jnp.ndarray,
                    (tails << (32 - jnp.maximum(over, 1)).astype(jnp.uint32)),
                    0)
     vB = jnp.where(valid, vB, 0)
-    # Masked entries carry value 0; ids must stay monotone for searchsorted,
-    # so never remap them out of order.
-    planeA = _plane_sum(w0.astype(jnp.int32), vA, W)
-    planeB = _plane_sum(jnp.minimum(w0 + 1, W).astype(jnp.int32), vB, W)
-    return planeA + planeB
+    return w0.astype(jnp.int32), vA, vB
+
+
+def _boundary_search(w0: jnp.ndarray, W: int) -> jnp.ndarray:
+    """F[:, j] = #entries with w0 < j, for j = 0..W+1 (w0 monotone per row).
+
+    Vectorized binary search: ~log2(T) rounds of take_along_axis gathers —
+    no scatters (XLA:TPU scatters serialize; gathers are fast)."""
+    V, T = w0.shape
+    j = jnp.arange(W + 2, dtype=jnp.int32)[None, :]
+    lo = jnp.zeros((V, W + 2), jnp.int32)
+    hi = jnp.full((V, W + 2), T, jnp.int32)
+    for _ in range(max(1, int(np.ceil(np.log2(max(T, 2)))) + 1)):
+        mid = (lo + hi) >> 1
+        vals = jnp.take_along_axis(w0, jnp.minimum(mid, T - 1), axis=1)
+        less = vals < j
+        lo = jnp.where(less, mid + 1, lo)
+        hi = jnp.where(less, hi, mid)
+    return hi
+
+
+def pack_monotone_stream(offsets: jnp.ndarray, tails: jnp.ndarray,
+                         tbits: jnp.ndarray, W: int,
+                         impl: str = "scatter") -> jnp.ndarray:
+    """Pack one stream of codeword tails into (B, W) uint32 words (MSB-first).
+
+    offsets: (B, T) absolute bit positions of each tail, non-decreasing along
+    T. tails: (B, T) uint32 (low `tbits` bits significant). tbits: (B, T),
+    0 = masked slot. Entries with offset >= W*32 are dropped.
+
+    word[w] is materialized as a difference of (wrapping int32) prefix sums:
+    contributions to one word are bit-disjoint, so their true sum fits 32
+    bits and sum == or; entries for word w form the contiguous index range
+    [F[w], F[w+1]) because offsets are monotone.
+    """
+    w0, vA, vB = _word_splits(offsets, tails, tbits, W)
+    if impl == "scatter":
+        planeA = _plane_sum(w0, vA, W)
+        planeB = _plane_sum(jnp.minimum(w0 + 1, W), vB, W)
+        return planeA + planeB
+    EA = jnp.cumsum(vA.astype(jnp.int32), axis=1)
+    EB = jnp.cumsum(vB.astype(jnp.int32), axis=1)
+    zero = jnp.zeros((w0.shape[0], 1), jnp.int32)
+    EA = jnp.concatenate([zero, EA], axis=1)   # EA[t] = sum vA[:t]
+    EB = jnp.concatenate([zero, EB], axis=1)
+    F = _boundary_search(w0, W)                # (V, W+2)
+    wordA = (jnp.take_along_axis(EA, F[:, 1:W + 1], axis=1)
+             - jnp.take_along_axis(EA, F[:, :W], axis=1))
+    # Spill plane: ids are w0 + 1, so word w collects [F[w-1], F[w]).
+    Fm1 = jnp.concatenate([F[:, :1], F[:, :W - 1]], axis=1)
+    wordB = (jnp.take_along_axis(EB, F[:, :W], axis=1)
+             - jnp.take_along_axis(EB, Fm1, axis=1))
+    return (wordA + wordB).astype(jnp.uint32)
 
 
 def residual_codewords(u: jnp.ndarray, code_type: jnp.ndarray,
@@ -168,10 +210,11 @@ def residual_codewords(u: jnp.ndarray, code_type: jnp.ndarray,
             total_bits)
 
 
-def pack_residual_sections(u, code_type, porder, ks, n: int, W: int):
+def pack_residual_sections(u, code_type, porder, ks, n: int, W: int,
+                           impl: str = "scatter"):
     """Pack every variant's residual section into (V, W) uint32 + bit counts."""
     h, p, s, total = residual_codewords(u, code_type, porder, ks, n)
-    words = (pack_monotone_stream(*h, W)
-             + pack_monotone_stream(*p, W)
-             + pack_monotone_stream(*s, W))
+    words = (pack_monotone_stream(*h, W, impl)
+             + pack_monotone_stream(*p, W, impl)
+             + pack_monotone_stream(*s, W, impl))
     return words, total

@@ -366,15 +366,15 @@ def analyze_blocks_ex(blocks: jnp.ndarray, lshift, *, n: int, bps: int,
     return small, big
 
 
-@partial(jax.jit, static_argnames=("n", "W", "cap"))
+@partial(jax.jit, static_argnames=("n", "W", "cap", "impl"))
 def pack_chosen(u, code_type, porder, ks, chosen, starts, lens, *, n: int,
-                W: int, cap: int):
+                W: int, cap: int, impl: str = "scatter"):
     """Pack ONLY the chosen variant rows and compact them into a flat word
     buffer in one device program (single fetch of ~compressed size)."""
     from .bitpack import pack_residual_sections
     uc = u[chosen]
     words, _ = pack_residual_sections(uc, code_type[chosen], porder[chosen],
-                                      ks[chosen], n, W)
+                                      ks[chosen], n, W, impl)
     j = jnp.arange(cap, dtype=jnp.int32)
     seg = jnp.clip(jnp.searchsorted(starts, j, side="right") - 1,
                    0, chosen.shape[0] - 1)
