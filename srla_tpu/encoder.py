@@ -640,8 +640,13 @@ class SRLAEncoder:
         front of a shared queue with a one-deep software pipeline (the next
         chunk's analysis is dispatched before the current chunk's results
         are fetched, hiding tunnel latency); the host thread steals from the
-        back. Both paths emit byte-identical blocks, so any split produces
-        the same stream, and the faster side automatically does more."""
+        back. Every block is a valid, losslessly-decodable unit from either
+        path, so any split yields a correct stream and the faster side
+        automatically does more. Note the two paths are not bit-identical
+        per block (the device analysis picks parameters in f32), so the
+        `tpu` backend's output — unlike the default `exact` backend — is
+        not reproducible across runs and not byte-exact vs the reference;
+        it is always lossless, within ~2% of the exact compressed size."""
         import os
         import threading
         import concurrent.futures as cf
