@@ -105,12 +105,16 @@ def _slice_params(p: _ChannelParams, lo: int, hi: int) -> _ChannelParams:
 
 
 class SRLAEncoder:
-    def __init__(self, parameter: EncodeParameter, backend: str = "exact"):
+    def __init__(self, parameter: EncodeParameter, backend: str = "exact",
+                 mesh=None):
         parameter.validate()
         self.p = parameter
         # The TPU fast path does not implement LTP yet — host fallback.
         self.backend = "exact" if (backend == "tpu"
                                    and parameter.ltp_order > 0) else backend
+        # Optional jax.sharding.Mesh: device analysis inputs are placed with
+        # the block axis sharded over it (multi-chip block parallelism).
+        self.mesh = mesh
         self.preset = PARAMETER_PRESETS[parameter.preset]
         self._param_cb = parameter_codebook()
         self._sum_cb = sum_parameter_codebook()
@@ -801,6 +805,15 @@ class SRLAEncoder:
         padded = np.zeros((Bp, C, size), up_dtype)
         padded[:B] = blocks
         W = (size * (bps + 4)) // 32 + 64
+        if self.mesh is not None:
+            import jax
+            from jax.sharding import NamedSharding, PartitionSpec
+            axis = self.mesh.axis_names[0]
+            nd = self.mesh.devices.size
+            if Bp % nd == 0:
+                padded = jax.device_put(
+                    padded, NamedSharding(self.mesh,
+                                          PartitionSpec(axis, None, None)))
         small, big = analyze_blocks_ex(
             padded, np.int32(offset_lshift), C=C, **self._device_args(size))
         return dict(idxs=idxs, small=small, big=big, B=B, Bp=Bp, W=W, C=C)

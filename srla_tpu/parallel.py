@@ -67,3 +67,33 @@ def full_step_sharded(mesh: Mesh, sig: np.ndarray, *, n: int, bps: int = 16,
                                    max_porder=max_porder)
     jax.block_until_ready(total)
     return out, float(total)
+
+
+def encode_corpus_sharded(mesh: Mesh, pcm_list, bits_per_sample: int,
+                          sampling_rate: int, preset: int = 4,
+                          max_block: int = 4096):
+    """Encode a corpus of files with the block axis sharded over the mesh.
+
+    Every file's block batch is uploaded with NamedSharding(P("blocks", ...)),
+    so device analysis runs block-parallel across all chips; assembly stays
+    on host. This is the corpus-throughput deployment shape (SURVEY §7 step
+    7): blocks are independent, so the only cross-chip traffic is the
+    gather/compaction of chosen packed sections.
+
+    Returns a list of .srl byte streams (valid + lossless; the device path
+    picks parameters in f32 — see SRLAEncoder backend notes).
+    """
+    from .encoder import EncodeParameter, SRLAEncoder
+
+    out = []
+    for pcm in pcm_list:
+        pcm = np.asarray(pcm, dtype=np.int32)
+        param = EncodeParameter(
+            num_channels=pcm.shape[0], bits_per_sample=bits_per_sample,
+            sampling_rate=sampling_rate, preset=preset,
+            max_num_samples_per_block=max_block,
+            min_num_samples_per_block=max_block,
+            num_lookahead_samples=4 * max_block)
+        enc = SRLAEncoder(param, backend="tpu", mesh=mesh)
+        out.append(enc.encode_whole(pcm))
+    return out

@@ -41,3 +41,24 @@ def test_block_sharded_analysis():
                                    max_fixed=False, fft_size=512,
                                    max_porder=6)
     assert np.asarray(out["rice_bits"]).shape == (16,)
+
+
+@pytest.mark.skipif("_devices() < 8", reason="needs 8 (virtual) devices")
+def test_encode_corpus_sharded_lossless():
+    import os
+
+    from srla_tpu import decode
+    from srla_tpu.parallel import encode_corpus_sharded, make_mesh
+
+    rng = np.random.RandomState(3)
+    files = [(rng.randn(2, 4096 * 5) * (800 + 4000 * f)).astype(np.int32)
+             for f in range(2)]
+    mesh = make_mesh(8)
+    os.environ["SRLA_TPU_HOST_SHARE"] = "0"   # exercise the device path
+    try:
+        streams = encode_corpus_sharded(mesh, files, 16, 44100, preset=2)
+    finally:
+        del os.environ["SRLA_TPU_HOST_SHARE"]
+    for pcm, stream in zip(files, streams):
+        _, out = decode(stream)
+        assert np.array_equal(out, pcm)
