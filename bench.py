@@ -62,9 +62,9 @@ def main():
     print(f"bench: warm-up (compile) {time.time() - t_w:.1f}s",
           file=sys.stderr)
 
-    # Best of two measured runs (the device tunnel here has high variance).
+    # Best of three measured runs (the device tunnel here has high variance).
     times = []
-    for _ in range(2):
+    for _ in range(3):
         t0 = time.time()
         stream = encode(pcm, 16, rate, preset=4, backend=backend)
         times.append(time.time() - t0)

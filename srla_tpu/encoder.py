@@ -621,7 +621,29 @@ class SRLAEncoder:
         return [results[i] for i in range(len(spans))]
 
     def _encode_host_batch(self, pcm, spans, idxs, size, offset_lshift):
-        """Host-native batched encode of even-size blocks."""
+        """Host-native batched encode of even-size blocks.
+
+        SRLA_HOST_THREADS > 1 splits the batch across a thread pool — the
+        hot loops are native/numpy and release the GIL, so this scales with
+        host cores (default 1: the development host has a single core)."""
+        import os
+        try:
+            nthreads = int(os.environ.get("SRLA_HOST_THREADS", "1"))
+        except ValueError:
+            nthreads = 1
+        if nthreads > 1 and len(idxs) >= 2 * nthreads:
+            import concurrent.futures as cf
+            shards = [list(idxs[j::nthreads]) for j in range(nthreads)]
+            results: dict[int, bytes] = {}
+            with cf.ThreadPoolExecutor(nthreads) as ex:
+                futs = [ex.submit(self._encode_host_shard, pcm, spans, sh,
+                                  size, offset_lshift) for sh in shards]
+                for f in futs:
+                    results.update(f.result())
+            return results
+        return self._encode_host_shard(pcm, spans, idxs, size, offset_lshift)
+
+    def _encode_host_shard(self, pcm, spans, idxs, size, offset_lshift):
         C = pcm.shape[0]
         blocks = np.stack([pcm[:, spans[i][0]:spans[i][0] + size]
                            for i in idxs])
