@@ -109,9 +109,13 @@ class SRLAEncoder:
                  mesh=None):
         parameter.validate()
         self.p = parameter
-        # The TPU fast path does not implement LTP yet — host fallback.
-        self.backend = "exact" if (backend == "tpu"
-                                   and parameter.ltp_order > 0) else backend
+        # The TPU fast path covers LTP for fixed-size blocks; variable-block
+        # search with LTP stays on the exact host path (its span measurement
+        # does not model LTP bits).
+        self.backend = "exact" if (
+            backend == "tpu" and parameter.ltp_order > 0
+            and parameter.min_num_samples_per_block
+            != parameter.max_num_samples_per_block) else backend
         # Optional jax.sharding.Mesh: device analysis inputs are placed with
         # the block axis sharded over it (multi-chip block parallelism).
         self.mesh = mesh
@@ -787,6 +791,9 @@ class SRLAEncoder:
             max_fixed=self.preset.lpc_order_tactics == OrderTactics.MAX_FIXED,
             fft_size=round_up_pow2(n), max_porder=max_porder)
 
+    def _device_args_ex(self, n: int):
+        return dict(self._device_args(n), ltp_order=self.p.ltp_order)
+
     def _variant_stack(self, blocks: np.ndarray, n: int, offset_lshift,
                        pad_bucket: int = 0):
         B, C, _ = blocks.shape
@@ -837,7 +844,8 @@ class SRLAEncoder:
                     padded, NamedSharding(self.mesh,
                                           PartitionSpec(axis, None, None)))
         small, big = analyze_blocks_ex(
-            padded, np.int32(offset_lshift), C=C, **self._device_args(size))
+            padded, np.int32(offset_lshift), C=C,
+            **self._device_args_ex(size))
         return dict(idxs=idxs, small=small, big=big, B=B, Bp=Bp, W=W, C=C)
 
     def _encode_group_device(self, pcm: np.ndarray, spans, idxs, size: int,
@@ -865,8 +873,11 @@ class SRLAEncoder:
         orders = small["orders"]
         maxp = max(self.preset.max_num_parameters, 1)
         coefs = small["coefs"][:, :maxp]
+        ltp_o = self.p.ltp_order
+        ltp_periods = small.get("ltp_period",
+                                np.zeros(len(orders), np.int32))
         code_len, use_sum = self._account_bits(
-            sec_bits, orders, coefs, np.zeros(len(orders), np.int32), 0)
+            sec_bits, orders, coefs, ltp_periods, ltp_o)
 
         # Stereo method selection (same argmin as the host path).
         def cl(vix):
@@ -944,7 +955,10 @@ class SRLAEncoder:
                 small["pre_coef"][rows2], small["orders"][rows2],
                 small["rshifts"][rows2], small["coefs"][rows2][:, :, :maxp],
                 flat_bytes, starts[:len(chosen_rows)].astype(np.int64) * 4,
-                sec_bits[chosen_rows], C, bps, size)
+                sec_bits[chosen_rows], C, bps, size,
+                ltp_order=ltp_o,
+                ltp_periods=(ltp_periods[rows2] if ltp_o > 0 else None),
+                ltp_coefs=(small["ltp_coefs"][rows2] if ltp_o > 0 else None))
             cursor = 0
             for k, bi in enumerate(compress_idx):
                 i = idxs[bi]
@@ -1027,8 +1041,17 @@ class SRLAEncoder:
                 w.put(self._sum_cb.codes[suv], self._sum_lens[suv])
             else:
                 w.put(self._param_cb.codes[uv], self._param_lens[uv])
-        for _ in rows:
-            w.put(0, 1)  # LTP flag (device path has no LTP)
+        ltp_o = self.p.ltp_order
+        for r in rows:
+            per = int(small["ltp_period"][r]) if ltp_o > 0 else 0
+            w.put(1 if per else 0, 1)
+            if per:
+                w.put((ltp_o - 1) // 2, LTP_ORDER_BITWIDTH)
+                w.put(per - LTP_MIN_PERIOD, LTP_PERIOD_BITWIDTH)
+                uv_l = sint32_to_uint32(
+                    np.asarray(small["ltp_coefs"][r], np.int32))
+                w.put(uv_l.astype(np.uint64),
+                      np.full(ltp_o, LTP_COEFFICIENT_BITWIDTH))
         return w
 
     # -- variable block path (optimal partition search) ------------------- #

@@ -23,7 +23,8 @@ import numpy as np
 from ..constants import (CODER_LOG2_MAX_NUM_PARTITIONS,
                          LPC_COEFFICIENT_BITWIDTH,
                          LPC_RIDGE_REGULARIZATION_PARAMETER,
-                         PREEMPHASIS_COEF_SHIFT)
+                         LTP_COEFFICIENT_BITWIDTH, LTP_MAX_PERIOD,
+                         LTP_MIN_PERIOD, PREEMPHASIS_COEF_SHIFT)
 from ..dsp.window import welch_inverse_squared_sum
 from ..rice import MLNOPTX
 
@@ -212,6 +213,78 @@ def _zigzag(x: jnp.ndarray) -> jnp.ndarray:
     return ((-(x < 0).astype(jnp.int32)) ^ (x << 1)).astype(jnp.uint32)
 
 
+def _ltp(work: jnp.ndarray, n: int, bps: int, fft_size: int, order: int):
+    """Long-term (pitch) prediction, vectorized over variants (f32 fast path).
+
+    Pitch selection follows the reference's rules (positive local maxima of
+    the windowed autocorrelation in [min_period, max_period), 0.1*ac[0]
+    energy threshold, first peak within 0.9 of the max) without the
+    per-region candidate bracketing/20-candidate cap — parameter choices can
+    differ from the exact host path on rare signals, which the tpu backend
+    permits. The residual filter itself is exact wrapping int32, so every
+    emitted block decodes losslessly. (Parity: libs/lpc/src/lpc.c:1473-1649.)
+    """
+    V = work.shape[0]
+    max_lag = LTP_MAX_PERIOD + 1
+    half_order = order // 2
+    acl = _autocorr(work, n, bps, max_lag, fft_size)
+    r0 = acl[:, 0]
+    j = np.arange(max_lag)
+    inrange = (j >= LTP_MIN_PERIOD) & (j < LTP_MAX_PERIOD)
+    prev = jnp.concatenate([acl[:, :1], acl[:, :-1]], axis=1)
+    nxt = jnp.concatenate([acl[:, 1:], acl[:, -1:]], axis=1)
+    peak = ((acl > prev) & (acl > nxt) & (acl > 0)
+            & jnp.asarray(inrange)[None, :])
+    peakv = jnp.where(peak, acl, 0.0)
+    max_peak = jnp.max(peakv, axis=1)
+    cand = peak & (acl >= np.float32(0.9) * max_peak[:, None])
+    period = jnp.argmax(cand, axis=1).astype(jnp.int32)  # first candidate
+    valid = (jnp.any(peak, axis=1)
+             & (max_peak >= np.float32(0.1) * r0)
+             & (jnp.abs(r0) > np.float32(1e-35))
+             & (period >= half_order + 1))
+
+    ridge = np.float32(1.0 + LPC_RIDGE_REGULARIZATION_PARAMETER)
+    r0r = r0 * ridge
+    safe_p = jnp.maximum(period, half_order + 1)
+    if order == 1:
+        rhs0 = jnp.take_along_axis(acl, safe_p[:, None], axis=1)[:, 0]
+        csol = (rhs0 / jnp.where(jnp.abs(r0r) < 1e-35, 1.0, r0r))[:, None]
+    else:
+        # Symmetric Toeplitz system A[j,k] = ac[|j-k|] (ridge on the diag).
+        rows = []
+        for jj in range(order):
+            cols = [r0r if jj == kk else acl[:, abs(jj - kk)]
+                    for kk in range(order)]
+            rows.append(jnp.stack(cols, axis=1))
+        A = jnp.stack(rows, axis=1)                       # (V, o, o)
+        ridx = (safe_p[:, None] - half_order
+                + jnp.arange(order, dtype=jnp.int32)[None, :])
+        rhs = jnp.take_along_axis(acl, ridx, axis=1)      # (V, o)
+        csol = jnp.linalg.solve(A, rhs[..., None])[..., 0]
+    valid = valid & jnp.all(jnp.isfinite(csol), axis=1)
+
+    q = jnp.where(csol >= 0, jnp.floor(csol * 32.0 + 0.5),
+                  -jnp.floor(-csol * 32.0 + 0.5))
+    q = jnp.clip(q, -32, 31).astype(jnp.int32)
+    qrev = q[:, ::-1]                                     # reversed for FIR
+    period = jnp.where(valid, period, 0)
+    qrev = jnp.where(valid[:, None], qrev, 0)
+
+    # Exact wrapping-int32 delay FIR (non-recursive on the encode side).
+    rshift = LTP_COEFFICIENT_BITWIDTH - 1
+    delay = period + half_order
+    s = jnp.arange(n, dtype=jnp.int32)[None, :]
+    acc = jnp.full((V, n), jnp.int32(1 << (rshift - 1)))
+    for i in range(order):
+        idx = jnp.clip(s - delay[:, None] + i, 0, n - 1)
+        acc = acc + qrev[:, i][:, None] * jnp.take_along_axis(work, idx,
+                                                              axis=1)
+    pred = acc >> rshift
+    apply = (period[:, None] > 0) & (s >= (delay + 1)[:, None])
+    return jnp.where(apply, work - pred, work), period, qrev
+
+
 def _rice_cost(residual: jnp.ndarray, n: int, max_porder: int):
     """Batched code-type + partition search. Static loop over partition
     orders; each evaluates every partition of every variant at once."""
@@ -269,10 +342,15 @@ def _rice_cost(residual: jnp.ndarray, n: int, max_porder: int):
 
 
 def _analyze_core(sig: jnp.ndarray, *, n: int, bps: int, max_params: int,
-                  max_fixed: bool, fft_size: int, max_porder: int):
+                  max_fixed: bool, fft_size: int, max_porder: int,
+                  ltp_order: int = 0):
     work, pre_coef = _preemphasis(sig)
     pre_prev = sig[:, 0]
     V = sig.shape[0]
+    ltp_period = jnp.zeros(V, jnp.int32)
+    ltp_coefs = jnp.zeros((V, max(ltp_order, 1)), jnp.int32)
+    if ltp_order > 0 and fft_size >= LTP_MAX_PERIOD + 1:
+        work, ltp_period, ltp_coefs = _ltp(work, n, bps, fft_size, ltp_order)
     if max_params > 0:
         ac = _autocorr(work, n, bps, max_params + 1, fft_size)
         ac = ac.at[:, 0].mul(
@@ -292,7 +370,7 @@ def _analyze_core(sig: jnp.ndarray, *, n: int, bps: int, max_params: int,
     return dict(pre_prev=pre_prev, pre_coef=pre_coef, orders=orders,
                 rshifts=rshifts, coefs=coefs_rev, residual=residual,
                 code_type=code_type, porder=best_porder, rice_bits=rice_bits,
-                ks=ks)
+                ks=ks, ltp_period=ltp_period, ltp_coefs=ltp_coefs)
 
 
 @partial(jax.jit, static_argnames=("n", "bps", "max_params", "max_fixed",
@@ -330,10 +408,11 @@ def analyze_pack_variants(sig: jnp.ndarray, *, n: int, bps: int,
 
 
 @partial(jax.jit, static_argnames=("n", "bps", "max_params", "max_fixed",
-                                   "fft_size", "max_porder", "C"))
+                                   "fft_size", "max_porder", "C",
+                                   "ltp_order"))
 def analyze_blocks_ex(blocks: jnp.ndarray, lshift, *, n: int, bps: int,
                       max_params: int, max_fixed: bool, fft_size: int,
-                      max_porder: int, C: int):
+                      max_porder: int, C: int, ltp_order: int = 0):
     """Variant construction + analysis + exact section bit counts on device.
 
     blocks: (Bp, C, n) int32 raw PCM (bucket-padded). Builds the channel
@@ -356,10 +435,11 @@ def analyze_blocks_ex(blocks: jnp.ndarray, lshift, *, n: int, bps: int,
     sig = jnp.concatenate(parts, axis=0)
     out = _analyze_core(sig, n=n, bps=bps, max_params=max_params,
                         max_fixed=max_fixed, fft_size=fft_size,
-                        max_porder=max_porder)
+                        max_porder=max_porder, ltp_order=ltp_order)
     u = _zigzag(out["residual"])
     small = {k: out[k] for k in ("pre_prev", "pre_coef", "orders", "rshifts",
-                                 "coefs", "code_type", "porder")}
+                                 "coefs", "code_type", "porder",
+                                 "ltp_period", "ltp_coefs")}
     small["section_bits"] = out["rice_bits"]
     big = dict(u=u, code_type=out["code_type"], porder=out["porder"],
                ks=out["ks"])

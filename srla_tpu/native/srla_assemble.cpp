@@ -94,7 +94,8 @@ long srla_assemble_blocks(
     const uint32_t *pcodes, const uint8_t *plens,
     const uint32_t *scodes, const uint8_t *slens,
     const uint8_t *sections, const long *sec_off_bytes, const long *sec_bits,
-    uint8_t *out, long out_cap, long *out_sizes) {
+    uint8_t *out, long out_cap, long *out_sizes,
+    int ltp_order, const int32_t *ltp_periods, const int32_t *ltp_coefs) {
     uint8_t *w = out;
     const long raw_bits = (long)bps * n * C;
     for (long b = 0; b < B; b++) {
@@ -144,7 +145,18 @@ long srla_assemble_blocks(
                 }
             }
         }
-        for (int c = 0; c < C; c++) bw.put(0, 1);  // LTP flags (device path)
+        for (int c = 0; c < C; c++) {
+            const int per = ltp_periods ? ltp_periods[b * C + c] : 0;
+            bw.put(per ? 1u : 0u, 1);
+            if (per) {
+                bw.put((uint32_t)((ltp_order - 1) / 2), 1);
+                bw.put((uint32_t)(per - 8), 8);  // LTP_MIN_PERIOD
+                const int32_t *lc =
+                    ltp_coefs + ((long)b * C + c) * ltp_order;
+                for (int i = 0; i < ltp_order; i++)
+                    bw.put(zigzag(lc[i]), 6);    // LTP_COEFFICIENT_BITWIDTH
+            }
+        }
         for (int c = 0; c < C; c++) {
             long k = b * C + c;
             bw.append_bits(sections + sec_off_bytes[k], sec_bits[k]);

@@ -66,7 +66,8 @@ def _load():
     lib.srla_assemble_blocks.argtypes = (
         [ctypes.c_long] + [ctypes.c_int] * 4
         + [ctypes.c_void_p] * 13
-        + [ctypes.c_void_p, ctypes.c_long, ctypes.c_void_p])
+        + [ctypes.c_void_p, ctypes.c_long, ctypes.c_void_p]
+        + [ctypes.c_int, ctypes.c_void_p, ctypes.c_void_p])
     lib.srla_autocorr_batch.restype = None
     lib.srla_autocorr_batch.argtypes = [
         ctypes.c_void_p, ctypes.c_long, ctypes.c_int, ctypes.c_int,
@@ -357,7 +358,8 @@ def _code_tables():
 def assemble_blocks(method, pre_prev, pre_coef, orders, rshifts, coefs,
                     sections: bytes, sec_off_bytes, sec_bits,
                     num_channels: int, bits_per_sample: int,
-                    num_samples: int):
+                    num_samples: int, ltp_order: int = 0,
+                    ltp_periods=None, ltp_coefs=None):
     """Assemble framed COMPRESS blocks natively.
 
     method (B,); per-channel params shaped (B, C); coefs (B, C, maxorder);
@@ -386,13 +388,19 @@ def assemble_blocks(method, pre_prev, pre_coef, orders, rshifts, coefs,
     def vp(a):
         return a.ctypes.data_as(ctypes.c_void_p)
 
+    if ltp_periods is not None:
+        ltp_periods = np.ascontiguousarray(ltp_periods, np.int32)
+        ltp_coefs = np.ascontiguousarray(ltp_coefs, np.int32)
     total = lib.srla_assemble_blocks(
         B, C, bits_per_sample, num_samples, maxorder,
         vp(method), vp(pre_prev), vp(pre_coef), vp(orders), vp(rshifts),
         vp(coefs), vp(pcodes), vp(plens), vp(scodes), vp(slens),
         ctypes.cast(ctypes.c_char_p(sections), ctypes.c_void_p),
         vp(sec_off), vp(sec_bits),
-        vp(out), cap, vp(sizes))
+        vp(out), cap, vp(sizes),
+        max(ltp_order, 1),
+        vp(ltp_periods) if ltp_periods is not None else None,
+        vp(ltp_coefs) if ltp_coefs is not None else None)
     if total < 0:
         raise ValueError("native assembler: output capacity exceeded")
     return out[:total].tobytes(), sizes

@@ -55,3 +55,22 @@ def test_fast_path_variable_blocks():
                   backend="tpu")
     _, out = decode(fast)
     assert np.array_equal(out, pcm)
+
+
+@pytest.mark.parametrize("P", [1, 3])
+def test_fast_path_ltp_lossless(P):
+    import os
+
+    sr = 44100
+    t = np.arange(sr * 3) / sr
+    sig = (9000 * np.sign(np.sin(2 * np.pi * 220 * t))).astype(np.int32)
+    pcm = np.stack([sig, np.roll(sig, 3)])
+    exact = encode(pcm, 16, sr, preset=4, ltp_order=P, backend="exact")
+    os.environ["SRLA_TPU_HOST_SHARE"] = "0"  # exercise the device path
+    try:
+        fast = encode(pcm, 16, sr, preset=4, ltp_order=P, backend="tpu")
+    finally:
+        del os.environ["SRLA_TPU_HOST_SHARE"]
+    _, out = decode(fast)
+    assert np.array_equal(out, pcm)
+    assert len(fast) <= 1.05 * len(exact)
