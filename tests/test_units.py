@@ -164,3 +164,54 @@ def test_preemphasis_inverse():
     filt = preemphasis(data, coef, prev)
     back = deemphasis(filt, coef, prev)
     assert np.array_equal(back, data)
+
+
+def test_dijkstra_known_paths():
+    """Hand-built adjacency with known shortest paths (parity:
+    test/srla_encoder/srla_encoder_test.cpp Dijkstra cases)."""
+    from srla_tpu.encoder import _dijkstra
+    BIG = 1e30
+    # 0 -> 1 (1), 0 -> 2 (4), 1 -> 2 (2), 1 -> 3 (6), 2 -> 3 (3)
+    adj = np.full((4, 4), BIG)
+    adj[0, 1] = 1.0
+    adj[0, 2] = 4.0
+    adj[1, 2] = 2.0
+    adj[1, 3] = 6.0
+    adj[2, 3] = 3.0
+    path = _dijkstra(adj, 4, 0, 3, BIG)
+    # Reconstruct 3 <- 2 <- 1 <- 0 (total 6 beats direct 7 and 0-2-3 = 7).
+    assert path[3] == 2 and path[2] == 1 and path[1] == 0
+    # Line graph: forced single path.
+    adj = np.full((3, 3), BIG)
+    adj[0, 1] = 5.0
+    adj[1, 2] = 5.0
+    path = _dijkstra(adj, 3, 0, 2, BIG)
+    assert path[2] == 1 and path[1] == 0
+
+
+def test_encode_parameter_validation():
+    """Parameter contract (parity: SRLAEncoder_SetEncodeParameter rejects)."""
+    from srla_tpu.encoder import EncodeParameter
+
+    def make(**kw):
+        base = dict(num_channels=2, bits_per_sample=16, sampling_rate=44100,
+                    preset=4, max_num_samples_per_block=4096,
+                    min_num_samples_per_block=4096,
+                    num_lookahead_samples=16384)
+        base.update(kw)
+        return EncodeParameter(**base)
+
+    make().validate()  # baseline OK
+    with pytest.raises(ValueError):
+        make(bits_per_sample=12).validate()
+    with pytest.raises(ValueError):
+        make(min_num_samples_per_block=8192).validate()
+    with pytest.raises(ValueError):
+        make(num_lookahead_samples=1024).validate()
+    with pytest.raises(ValueError):
+        make(num_lookahead_samples=4096 * 4 + 1,
+             min_num_samples_per_block=4096).validate()
+    with pytest.raises(ValueError):
+        make(ltp_order=2).validate()
+    with pytest.raises(ValueError):
+        make(ltp_order=5).validate()
