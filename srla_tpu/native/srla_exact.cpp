@@ -12,6 +12,10 @@
 #include <cstdint>
 #include <cstring>
 
+#if defined(__AVX2__)
+#include <immintrin.h>
+#endif
+
 namespace {
 
 struct Cplx { double re, im; };
@@ -331,7 +335,32 @@ void srla_lpc_predict_batch(const int32_t *data, long B, int n,
         const int lead = o < n ? o : n;
         for (int s = 1; s < lead; s++)
             r[s] = (int32_t)((uint32_t)x[s] - (uint32_t)x[s - 1]);
-        for (int s = o; s < n; s++) {
+        int s = o;
+#if defined(__AVX2__)
+        // 4 samples per iteration: vpmuldq multiplies the signed low-32
+        // lanes of each 64-bit element, giving exact int32*int32->int64
+        // products; the wrapping truncation to int32 happens at the end,
+        // identical to the scalar path.
+        for (; s + 4 <= n; s += 4) {
+            __m256i acc = _mm256_set1_epi64x(half);
+            const int32_t *base = x + s - o;
+            for (int i = 0; i < o; i++) {
+                __m256i xv = _mm256_cvtepi32_epi64(
+                    _mm_loadu_si128((const __m128i *)(base + i)));
+                acc = _mm256_add_epi64(
+                    acc, _mm256_mul_epi32(xv, _mm256_set1_epi64x(c[i])));
+            }
+            // Low 32 bits of each 64-bit lane -> 4 int32, arithmetic shift.
+            __m128i lo = _mm_castps_si128(_mm_shuffle_ps(
+                _mm_castsi128_ps(_mm256_castsi256_si128(acc)),
+                _mm_castsi128_ps(_mm256_extracti128_si256(acc, 1)),
+                _MM_SHUFFLE(2, 0, 2, 0)));
+            __m128i pred = _mm_sra_epi32(lo, _mm_cvtsi32_si128(rs));
+            __m128i xs = _mm_loadu_si128((const __m128i *)(x + s));
+            _mm_storeu_si128((__m128i *)(r + s), _mm_add_epi32(xs, pred));
+        }
+#endif
+        for (; s < n; s++) {
             int64_t acc = half;
             for (int i = 0; i < o; i++)
                 acc += (int64_t)c[i] * x[s - o + i];

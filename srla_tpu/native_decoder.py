@@ -35,9 +35,11 @@ def _load():
             # -ffp-contract=off: the exact-path f64 kernels must round every
             # multiply/add separately (bit-parity with the host/reference).
             cmd = [cxx, "-O3", "-fwrapv", "-ffp-contract=off", "-fPIC",
-                   "-shared", "-std=c++17", "-mfma", *_SRCS, "-o", so_path]
+                   "-shared", "-std=c++17", "-mavx2", "-mfma",
+                   *_SRCS, "-o", so_path]
             r = subprocess.run(cmd, check=False, capture_output=True)
-            if r.returncode != 0:  # non-x86 toolchains: retry without -mfma
+            if r.returncode != 0:  # non-x86 toolchains: retry without SIMD
+                cmd.remove("-mavx2")
                 cmd.remove("-mfma")
                 subprocess.run(cmd, check=True, capture_output=True)
     lib = ctypes.CDLL(so_path)
