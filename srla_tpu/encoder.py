@@ -694,6 +694,7 @@ class SRLAEncoder:
 
         pending = list(idxs)
         lock = threading.Lock()
+        dev_taken: list[int] = []
 
         def take(k, from_front):
             with lock:
@@ -705,35 +706,101 @@ class SRLAEncoder:
                 else:
                     chunk, rest = pending[-k:], pending[:-k]
                 pending[:] = rest
+                if from_front:
+                    dev_taken.extend(chunk)
                 return chunk
 
         dev_results: dict[int, bytes] = {}
+        import time as _time
+        rates = {"host": None, "dev": None}  # blocks/sec, EMA
+
+        def _ema(old, new):
+            return new if old is None else 0.5 * old + 0.5 * new
 
         def dev_worker():
+            # Guided self-scheduling: chunk sizes follow the measured
+            # device/host rate ratio, so a slow tunnel never strands more
+            # than ~2 small chunks on the device while the host drains the
+            # queue. First chunks are small probes (rates unknown).
             st = None
+            last = _time.perf_counter()
             while True:
-                chunk = take(self._HYBRID_DEV_CHUNK, True)
+                with lock:
+                    rem = len(pending)
+                if rates["dev"] is None or rates["host"] is None:
+                    want = 128
+                else:
+                    frac = rates["dev"] / (rates["dev"] + rates["host"])
+                    want = int(min(self._HYBRID_DEV_CHUNK,
+                                   max(64, rem * frac * 0.5)))
+                chunk = take(want, True) if rem else []
                 nxt = (self._device_dispatch(pcm, spans, chunk, size,
                                              offset_lshift)
                        if chunk else None)
                 if st is not None:
-                    dev_results.update(self._device_finish(
-                        st, pcm, spans, size, offset_lshift))
+                    done = self._device_finish(st[0], pcm, spans, size,
+                                               offset_lshift)
+                    with lock:
+                        dev_results.update(done)
+                    now = _time.perf_counter()
+                    rates["dev"] = _ema(rates["dev"],
+                                        len(st[1]) / max(now - last, 1e-3))
+                    last = now
                 if nxt is None:
                     return
-                st = nxt
+                st = (nxt, chunk)
 
         results: dict[int, bytes] = {}
-        with cf.ThreadPoolExecutor(1) as ex:
-            fut = ex.submit(dev_worker)
+        ex = cf.ThreadPoolExecutor(1)
+        fut = ex.submit(dev_worker)
+        try:
             while True:
                 chunk = take(self._HYBRID_HOST_CHUNK, False)
                 if not chunk:
                     break
+                t0 = _time.perf_counter()
                 results.update(self._encode_host_batch(
                     pcm, spans, chunk, size, offset_lshift))
-            fut.result()
-        results.update(dev_results)
+                dt = max(_time.perf_counter() - t0, 1e-3)
+                rates["host"] = _ema(rates["host"], len(chunk) / dt)
+            # The queue is drained. A stalled device link must not stall the
+            # encode: race any device-held blocks on the host (every block is
+            # a self-contained valid unit, so duplicates are harmless — the
+            # first finisher wins) and return without joining the worker.
+            try:
+                fut.result(timeout=0.05)
+            except cf.TimeoutError:
+                with lock:
+                    have = set(results) | set(dev_results)
+                    missing = [i for i in dev_taken if i not in have]
+                # Wait only while the device is expected to beat a host redo
+                # of its outstanding blocks; then race.
+                grace = 0.05
+                if missing and rates["dev"] and rates["host"]:
+                    est_dev = len(missing) / rates["dev"]
+                    est_redo = len(missing) / rates["host"]
+                    if est_dev < est_redo:
+                        grace = 1.5 * est_dev + 0.1
+                try:
+                    fut.result(timeout=grace)
+                except cf.TimeoutError:
+                    with lock:
+                        have = set(results) | set(dev_results)
+                        missing = [i for i in dev_taken if i not in have]
+                    if missing:
+                        results.update(self._encode_host_batch(
+                            pcm, spans, missing, size, offset_lshift))
+        finally:
+            ex.shutdown(wait=False)
+        with lock:
+            got = dict(dev_results)
+        for k, v in got.items():
+            results.setdefault(k, v)
+        # Anything still missing (race window): host-encode it now.
+        still = [i for i in idxs if i not in results]
+        if still:
+            results.update(self._encode_host_batch(pcm, spans, still, size,
+                                                   offset_lshift))
         return results
 
     def _finish_block(self, pcm, spans, i, size, params, method_b, bi, C):
