@@ -11,6 +11,10 @@
 #include <cstdint>
 #include <cstring>
 
+#if defined(__AVX2__)
+#include <immintrin.h>
+#endif
+
 namespace {
 
 struct BitReader {
@@ -102,12 +106,45 @@ uint16_t fletcher16(const uint8_t *data, long size) {
     return (uint16_t)((c1 << 8) | c0);
 }
 
+#if defined(__AVX2__)
+// Wrapping-int32 inner product (vpmulld is exactly int32 wrap multiply;
+// lane order does not matter because int32 addition is commutative mod 2^32).
+static inline int32_t dot_wrap32(const int32_t *c, const int32_t *x, int o,
+                                 int32_t acc0) {
+    __m256i acc = _mm256_setzero_si256();
+    int i = 0;
+    for (; i + 8 <= o; i += 8) {
+        __m256i cv = _mm256_loadu_si256((const __m256i *)(c + i));
+        __m256i xv = _mm256_loadu_si256((const __m256i *)(x + i));
+        acc = _mm256_add_epi32(acc, _mm256_mullo_epi32(cv, xv));
+    }
+    __m128i s4 = _mm_add_epi32(_mm256_castsi256_si128(acc),
+                               _mm256_extracti128_si256(acc, 1));
+    __m128i s2 = _mm_add_epi32(s4, _mm_shuffle_epi32(s4,
+                                                     _MM_SHUFFLE(1, 0, 3, 2)));
+    __m128i s1 = _mm_add_epi32(s2, _mm_shuffle_epi32(s2,
+                                                     _MM_SHUFFLE(2, 3, 0, 1)));
+    int32_t r = (int32_t)((uint32_t)_mm_cvtsi128_si32(s1) + (uint32_t)acc0);
+    for (; i < o; i++)
+        r = (int32_t)((uint32_t)r + (uint32_t)c[i] * (uint32_t)x[i]);
+    return r;
+}
+#endif
+
 void lpc_synthesize(int32_t *data, int n, const int32_t *coef, int order,
                     int rshift) {
     if (order == 0) return;
     const int32_t half = (rshift > 0) ? (int32_t)(1u << (rshift - 1))
                                       : (int32_t)0x80000000u;
     for (int s = 1; s < order && s < n; s++) data[s] += data[s - 1];
+#if defined(__AVX2__)
+    if (order >= 8) {
+        for (int s = 0; s + order < n; s++)
+            data[s + order] -= sra(dot_wrap32(coef, data + s, order, half),
+                                   rshift);
+        return;
+    }
+#endif
     for (int s = 0; s + order < n; s++) {
         int32_t acc = half;
         for (int i = 0; i < order; i++)
