@@ -196,19 +196,45 @@ int rice_decode_channel(BitReader &br, int32_t *out, int n) {  // rc codes
         int32_t *dst = out + (long)part * nsmpl;
         if (code_type == 1) {  // recursive Rice: k1 = k+1, k2 = k
             for (int i = 0; i < nsmpl; i++) {
-                uint32_t quot = br.zero_run();
+                // Fast path: the whole codeword sits in the staged word.
+                if (br.count < 40 + k) br.refill();
+                const uint64_t st = br.stage;
+                const int lead = st ? __builtin_clzll(st) : 64;
                 uint32_t uval;
-                if (quot == 0) {
-                    uval = br.get(k + 1);
-                } else {
-                    uval = br.get(k) | ((quot + 1) << k);
+                if (lead == 0 && k + 2 <= br.count) {
+                    uval = (uint32_t)((st << 1) >> (63 - k));
+                    br.stage = st << (k + 2);
+                    br.count -= k + 2;
+                } else if (lead > 0 && lead + 1 + k <= br.count
+                           && lead + 1 + k < 64) {
+                    uval = (((uint32_t)lead + 1) << k)
+                        | (k ? (uint32_t)((st << (lead + 1)) >> (64 - k))
+                             : 0u);
+                    br.stage = st << (lead + 1 + k);
+                    br.count -= lead + 1 + k;
+                } else {  // long runs / stage boundary: general path
+                    uint32_t quot = br.zero_run();
+                    uval = quot == 0 ? br.get(k + 1)
+                                     : (br.get(k) | ((quot + 1) << k));
                 }
                 dst[i] = unzigzag(uval);
             }
         } else {  // plain Rice
             for (int i = 0; i < nsmpl; i++) {
-                uint32_t quot = br.zero_run();
-                uint32_t uval = (quot << k) + br.get(k);
+                if (br.count < 40 + k) br.refill();
+                const uint64_t st = br.stage;
+                const int lead = st ? __builtin_clzll(st) : 64;
+                uint32_t uval;
+                if (lead + 1 + k <= br.count && lead + 1 + k < 64) {
+                    uval = ((uint32_t)lead << k)
+                        | (k ? (uint32_t)((st << (lead + 1)) >> (64 - k))
+                             : 0u);
+                    br.stage = st << (lead + 1 + k);
+                    br.count -= lead + 1 + k;
+                } else {
+                    uint32_t quot = br.zero_run();
+                    uval = (quot << k) + br.get(k);
+                }
                 dst[i] = unzigzag(uval);
             }
         }
