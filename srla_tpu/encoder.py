@@ -1124,57 +1124,99 @@ class SRLAEncoder:
     # -- variable block path (optimal partition search) ------------------- #
 
     def _encode_variable(self, pcm: np.ndarray, offset_lshift: int):
+        """Variable-block encode: optimal partition per lookahead window.
+
+        All even windows are processed in three global phases — (A) measure
+        every candidate span of every window, batched by size in one call
+        per size (the reference's dominant serial cost becomes one batch
+        dimension across the whole file); (B) per-window Dijkstra over the
+        measured costs; (C) one batched encode of all chosen spans. An odd
+        final window keeps the serial reference-order evaluation (work-
+        buffer state threading for bit-exactness)."""
         C, N = pcm.shape
         p = self.p
         lookahead = p.num_lookahead_samples
-        out = []
+        windows = []
         progress = 0
-        last_compress = None  # (off, size) of the last compress-analyzed span
         while progress < N:
             span = min(lookahead, N - progress)
-            window = pcm[:, progress:progress + span]
-            if span % 2 == 1:
-                # Odd final window: thread the reference's work-buffer state
-                # through the search DAG and the partition encodes.
-                state = (self._state_from_block(pcm, *last_compress,
-                                                offset_lshift)
-                         if last_compress else self._fresh_state())
-                parts, state = self._search_partitions(
-                    window, span, offset_lshift, state=state)
-                off = 0
-                for size in parts:
-                    blk = pcm[:, progress + off:progress + off + size]
-                    if size <= self.preset.max_num_parameters:
-                        out.append(frame_block(
-                            BlockDataType.RAW, size,
-                            self._raw_payload(blk.astype(np.int32), size)))
-                    elif not blk.any():
-                        out.append(frame_block(BlockDataType.SILENT, size,
-                                               b""))
-                    else:
-                        method, params, _bits = self._compute_coefficients(
-                            blk[None].astype(np.int32), size, offset_lshift,
-                            stale_state=state)
-                        state = self._last_state
-                        out.append(self._finish_block(
-                            pcm, [(progress + off, size)], 0, size, params,
-                            int(method[0]), 0, C))
-                    off += size
-                progress += span
-                continue
-            parts = self._search_partitions(window, span, offset_lshift)
-            spans = []
+            windows.append((progress, span))
+            progress += span
+        even_windows = [w for w in windows if w[1] % 2 == 0]
+
+        dmin = p.min_num_samples_per_block
+        dmax = p.max_num_samples_per_block
+        BIG = float(1 << 24)
+        adj_of: dict[int, np.ndarray] = {}
+        jobs_by_size: dict[int, list] = {}
+        for wo, span in even_windows:
+            num_nodes = (span + dmin - 1) // dmin + 1
+            adj = np.full((num_nodes, num_nodes), BIG)
+            adj_of[wo] = adj
+            for i in range(num_nodes):
+                off = i * dmin
+                for j in range(i + 1, num_nodes):
+                    size = (j - i) * dmin
+                    if size > dmax:
+                        continue
+                    jobs_by_size.setdefault(min(size, span - off),
+                                            []).append((wo, i, j, wo + off))
+        for size, entries in jobs_by_size.items():
+            sizes = self._measure_blocks(pcm, [g for *_, g in entries],
+                                         size, offset_lshift)
+            for (wo, i, j, _), sz in zip(entries, sizes):
+                adj_of[wo][i, j] = float(sz)
+
+        all_spans = []
+        for wo, span in even_windows:
+            adj = adj_of[wo]
+            num_nodes = adj.shape[0]
+            path = _dijkstra(adj, num_nodes, 0, num_nodes - 1, BIG)
+            parts_rev = []
+            node = num_nodes - 1
+            while node != 0:
+                prev = path[node]
+                off = prev * dmin
+                parts_rev.append(min((node - prev) * dmin, span - off))
+                node = prev
             off = 0
-            for size in parts:
-                spans.append((progress + off, size))
+            for size in parts_rev[::-1]:
+                all_spans.append((wo + off, size))
                 off += size
-            out.extend(self._encode_spans(pcm, spans, offset_lshift))
-            for o, s in reversed(spans):
+        out = self._encode_spans(pcm, all_spans, offset_lshift)
+
+        if windows and windows[-1][1] % 2 == 1:
+            wo, span = windows[-1]
+            window = pcm[:, wo:wo + span]
+            last_compress = None
+            for o, s in reversed(all_spans):
                 blk = pcm[:, o:o + s]
                 if s > self.preset.max_num_parameters and blk.any():
                     last_compress = (o, s)
                     break
-            progress += span
+            state = (self._state_from_block(pcm, *last_compress,
+                                            offset_lshift)
+                     if last_compress else self._fresh_state())
+            parts, state = self._search_partitions(
+                window, span, offset_lshift, state=state)
+            off = 0
+            for size in parts:
+                blk = pcm[:, wo + off:wo + off + size]
+                if size <= self.preset.max_num_parameters:
+                    out.append(frame_block(
+                        BlockDataType.RAW, size,
+                        self._raw_payload(blk.astype(np.int32), size)))
+                elif not blk.any():
+                    out.append(frame_block(BlockDataType.SILENT, size, b""))
+                else:
+                    method, params, _bits = self._compute_coefficients(
+                        blk[None].astype(np.int32), size, offset_lshift,
+                        stale_state=state)
+                    state = self._last_state
+                    out.append(self._finish_block(
+                        pcm, [(wo + off, size)], 0, size, params,
+                        int(method[0]), 0, C))
+                off += size
         return out
 
     def _search_partitions(self, window: np.ndarray, span: int,
