@@ -61,14 +61,32 @@ def main(argv=None) -> int:
             print(f"invalid compress mode: {args.mode}", file=sys.stderr)
             return 1
         wav = read_audio(args.input)
-        data = encoder.encode(
-            wav.pcm, wav.bits_per_sample, wav.sampling_rate,
-            preset=args.mode, max_block=args.max_block_size,
-            variable_divisions=args.variable_block_divisions,
-            lookahead_factor=args.lookahead_sample_factor,
+        total = wav.pcm.shape[1]
+
+        def progress(done, _total=total):
+            # Per-block progress meter (parity: the reference CLI's
+            # EncodeBlockCallback display, tools/srla_codec/srla_codec.c:66).
+            if sys.stderr.isatty():
+                pct = min(100.0, 100.0 * done / max(_total, 1))
+                print(f"\rprogress: {pct:5.1f} %", end="", file=sys.stderr)
+                if done >= _total:
+                    print(file=sys.stderr)
+
+        param = encoder.EncodeParameter(
+            num_channels=wav.pcm.shape[0],
+            bits_per_sample=wav.bits_per_sample,
+            sampling_rate=wav.sampling_rate, preset=args.mode,
+            max_num_samples_per_block=args.max_block_size,
+            min_num_samples_per_block=(args.max_block_size
+                                       >> args.variable_block_divisions),
+            num_lookahead_samples=(args.lookahead_sample_factor
+                                   * args.max_block_size),
             ltp_order=args.long_term_prediction,
-            svr_iterations=args.svr_filter_learning_iteration,
-            backend=args.backend)
+            num_svr_filter_learning_iteration=(
+                args.svr_filter_learning_iteration))
+        data = encoder.SRLAEncoder(param, backend=args.backend).encode_whole(
+            np.asarray(wav.pcm, dtype=np.int32),
+            progress_callback=progress)
         with open(args.output, "wb") as f:
             f.write(data)
         insize = wav.pcm.nbytes // 4 * (wav.bits_per_sample // 8) + 44

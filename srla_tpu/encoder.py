@@ -544,9 +544,30 @@ class SRLAEncoder:
             off += size
         return b"".join(self._encode_spans(pcm_window, spans, offset_lshift))
 
+    def _report_progress(self, nsamples: int) -> None:
+        """Advance the per-encode progress meter (parity: the reference's
+        EncodeBlockCallback, srla_encoder.c:1780). Fired per encoded chunk —
+        the batched pipeline has no per-block serial point."""
+        cb = getattr(self, "_progress_cb", None)
+        if cb is None:
+            return
+        import threading
+        lock = getattr(self, "_progress_lock", None)
+        if lock is None:
+            lock = self._progress_lock = threading.Lock()
+        with lock:
+            self._progress_done += nsamples
+            done = self._progress_done
+        try:
+            cb(done)
+        except Exception:
+            self._progress_cb = None  # a broken callback never kills encode
+
     def encode_whole(self, pcm: np.ndarray, progress_callback=None) -> bytes:
         """pcm: (C, N) int32. Returns the complete .srl stream."""
         C, N = pcm.shape
+        self._progress_cb = progress_callback
+        self._progress_done = 0
         p = self.p
         offset_lshift = _compute_offset_lshift(pcm)
         header = StreamHeader(C, N, p.sampling_rate, p.bits_per_sample,
@@ -653,9 +674,11 @@ class SRLAEncoder:
                            for i in idxs])
         method, params, _bits = self._compute_coefficients(
             blocks.astype(np.int32), size, offset_lshift)
-        return {i: self._finish_block(pcm, spans, i, size, params,
-                                      int(method[bi]), bi, C)
-                for bi, i in enumerate(idxs)}
+        out = {i: self._finish_block(pcm, spans, i, size, params,
+                                     int(method[bi]), bi, C)
+               for bi, i in enumerate(idxs)}
+        self._report_progress(len(idxs) * size)
+        return out
 
     # Hybrid scheduling knobs. Chunk sizes trade steal granularity against
     # per-round dispatch/transfer latency; the device chunk is a multiple of
@@ -1068,6 +1091,7 @@ class SRLAEncoder:
                 blk = pcm[:, spans[i][0]:spans[i][0] + size].astype(np.int32)
                 results[i] = frame_block(BlockDataType.RAW, size,
                                          self._raw_payload(blk, size))
+        self._report_progress(B * size)
         return results
 
     def _params_header_bits(self, small, method, B, bi, row_of, C):
