@@ -203,7 +203,12 @@ class SRLAEncoder:
                     ac, raw = _nd.window_autocorr_batch(
                         work, n, norm, win, bool(n & 1), mid,
                         round_up_pow2(n), max_params + 1, want_raw=True)
-                    state = raw[0]
+                    # Preserve the work buffer's stale TAIL beyond this
+                    # FFT's length — tiny spans' LTP lag patches read it.
+                    ns = (state.copy() if state is not None
+                          else np.zeros(max(raw.shape[1], n)))
+                    ns[:raw.shape[1]] = raw[0]
+                    state = ns
                 else:
                     ac = _nd.window_autocorr_batch(
                         work, n, norm, win, bool(n & 1), mid,
@@ -217,7 +222,10 @@ class SRLAEncoder:
                 if want_state:
                     ac, raw = autocorr_fft(windowed, n, max_params + 1,
                                            want_raw=True)
-                    state = raw[0]
+                    ns = (state.copy() if state is not None
+                          else np.zeros(max(raw.shape[1], n)))
+                    ns[:raw.shape[1]] = raw[0]
+                    state = ns
                 else:
                     ac = autocorr_fft(windowed, n, max_params + 1)
             ac[:, 0] = ac[:, 0] * (1.0 + LPC_RIDGE_REGULARIZATION_PARAMETER)

@@ -11,7 +11,8 @@
 #include <cstdint>
 #include <cstring>
 
-#if defined(__AVX2__)
+#if defined(__x86_64__) && defined(__GNUC__)
+#define SRLA_X86_SIMD 1
 #include <immintrin.h>
 #endif
 
@@ -106,11 +107,19 @@ uint16_t fletcher16(const uint8_t *data, long size) {
     return (uint16_t)((c1 << 8) | c0);
 }
 
-#if defined(__AVX2__)
+#if defined(SRLA_X86_SIMD)
+static inline bool srla_has_avx2() {
+    static const bool ok = __builtin_cpu_supports("avx2");
+    return ok;
+}
+
 // Wrapping-int32 inner product (vpmulld is exactly int32 wrap multiply;
 // lane order does not matter because int32 addition is commutative mod 2^32).
-static inline int32_t dot_wrap32(const int32_t *c, const int32_t *x, int o,
-                                 int32_t acc0) {
+// Per-function target attribute + runtime dispatch: the file is built
+// without -mavx2 so the f64-sensitive TUs share plain compile flags.
+__attribute__((target("avx2")))
+static int32_t dot_wrap32(const int32_t *c, const int32_t *x, int o,
+                          int32_t acc0) {
     __m256i acc = _mm256_setzero_si256();
     int i = 0;
     for (; i + 8 <= o; i += 8) {
@@ -137,8 +146,8 @@ void lpc_synthesize(int32_t *data, int n, const int32_t *coef, int order,
     const int32_t half = (rshift > 0) ? (int32_t)(1u << (rshift - 1))
                                       : (int32_t)0x80000000u;
     for (int s = 1; s < order && s < n; s++) data[s] += data[s - 1];
-#if defined(__AVX2__)
-    if (order >= 8) {
+#if defined(SRLA_X86_SIMD)
+    if (order >= 8 && srla_has_avx2()) {
         for (int s = 0; s + order < n; s++)
             data[s + order] -= sra(dot_wrap32(coef, data + s, order, half),
                                    rshift);

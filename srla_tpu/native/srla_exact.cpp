@@ -12,7 +12,14 @@
 #include <cstdint>
 #include <cstring>
 
-#if defined(__AVX2__)
+// SIMD only for INTEGER kernels (exact regardless of lanes). The f64 FFT
+// code in this file must compile WITHOUT -mfma/-mavx2: g++ does not honor
+// -ffp-contract=off reliably in C++ when FMA is enabled globally, and a
+// contracted butterfly breaks bit-parity with the reference (visible under
+// the catastrophic cancellation of impulse autocorrelations). Integer AVX2
+// paths use per-function target attributes + runtime dispatch instead.
+#if defined(__x86_64__) && defined(__GNUC__)
+#define SRLA_X86_SIMD 1
 #include <immintrin.h>
 #endif
 
@@ -21,10 +28,12 @@ namespace {
 struct Cplx { double re, im; };
 
 inline Cplx cmul(Cplx a, Cplx b) {
-    // Matches numpy 2.x complex128 multiply rounding (SIMD fmaddsub): the
-    // second product rounds separately, the outer op is a fused multiply-add.
-    return {std::fma(a.re, b.re, -(a.im * b.im)),
-            std::fma(a.re, b.im, a.im * b.re)};
+    // PLAIN complex multiply — every product rounds separately (parity:
+    // FFTComplex_Mul, libs/fft/src/fft.c:56-63, built without contraction).
+    // Do NOT use numpy's fused (fmaddsub) form: it agrees after quantization
+    // on normal signals but diverges under the catastrophic cancellation of
+    // impulse-dominated autocorrelations (stale-buffer pitch detection).
+    return {a.re * b.re - a.im * b.im, a.re * b.im + a.im * b.re};
 }
 
 // Radix-4 Stockham complex FFT over interleaved re/im pairs, using
@@ -50,7 +59,8 @@ void complex_fft(int n, int flag, Cplx *x, Cplx *y, const double *tw) {
                 const Cplx amc = {a.re - c.re, a.im - c.im};
                 const Cplx bpd = {b.re + d.re, b.im + d.im};
                 const Cplx bmd = {b.re - d.re, b.im - d.im};
-                const Cplx jbmd = cmul({0.0, ji}, bmd);
+                const Cplx jbmd = {0.0 * bmd.re - ji * bmd.im,
+                                   0.0 * bmd.im + ji * bmd.re};
                 y[q + s * ((p << 2) + 0)] = {apc.re + bpd.re, apc.im + bpd.im};
                 y[q + s * ((p << 2) + 1)] =
                     cmul(w1, {amc.re - jbmd.re, amc.im - jbmd.im});
@@ -309,6 +319,42 @@ void srla_rice_search_batch(
     delete[] mean_lvls;
 }
 
+#if defined(SRLA_X86_SIMD)
+static inline bool srla_has_avx2() {
+    static const bool ok = __builtin_cpu_supports("avx2");
+    return ok;
+}
+
+// 4 samples per iteration: vpmuldq multiplies the signed low-32 lanes of
+// each 64-bit element, giving exact int32*int32->int64 products; wrapping
+// truncation to int32 at the end, identical to the scalar path. Returns the
+// first unprocessed sample index.
+__attribute__((target("avx2")))
+static int fir_rows_avx2(const int32_t *x, int32_t *r, const int32_t *c,
+                         int o, int rs, int64_t half, int n) {
+    int s = o;
+    for (; s + 4 <= n; s += 4) {
+        __m256i acc = _mm256_set1_epi64x(half);
+        const int32_t *base = x + s - o;
+        for (int i = 0; i < o; i++) {
+            __m256i xv = _mm256_cvtepi32_epi64(
+                _mm_loadu_si128((const __m128i *)(base + i)));
+            acc = _mm256_add_epi64(
+                acc, _mm256_mul_epi32(xv, _mm256_set1_epi64x(c[i])));
+        }
+        // Low 32 bits of each 64-bit lane -> 4 int32, arithmetic shift.
+        __m128i lo = _mm_castps_si128(_mm_shuffle_ps(
+            _mm_castsi128_ps(_mm256_castsi256_si128(acc)),
+            _mm_castsi128_ps(_mm256_extracti128_si256(acc, 1)),
+            _MM_SHUFFLE(2, 0, 2, 0)));
+        __m128i pred = _mm_sra_epi32(lo, _mm_cvtsi32_si128(rs));
+        __m128i xs = _mm_loadu_si128((const __m128i *)(x + s));
+        _mm_storeu_si128((__m128i *)(r + s), _mm_add_epi32(xs, pred));
+    }
+    return s;
+}
+#endif
+
 // Batched forward LPC prediction (wrapping int32, x86 shift semantics).
 // data (B, n) int32; coefs (B, maxorder) int32 left-aligned order-reversed
 // (coef[i] multiplies data[s - order + i]); residual out (B, n) int32.
@@ -336,29 +382,9 @@ void srla_lpc_predict_batch(const int32_t *data, long B, int n,
         for (int s = 1; s < lead; s++)
             r[s] = (int32_t)((uint32_t)x[s] - (uint32_t)x[s - 1]);
         int s = o;
-#if defined(__AVX2__)
-        // 4 samples per iteration: vpmuldq multiplies the signed low-32
-        // lanes of each 64-bit element, giving exact int32*int32->int64
-        // products; the wrapping truncation to int32 happens at the end,
-        // identical to the scalar path.
-        for (; s + 4 <= n; s += 4) {
-            __m256i acc = _mm256_set1_epi64x(half);
-            const int32_t *base = x + s - o;
-            for (int i = 0; i < o; i++) {
-                __m256i xv = _mm256_cvtepi32_epi64(
-                    _mm_loadu_si128((const __m128i *)(base + i)));
-                acc = _mm256_add_epi64(
-                    acc, _mm256_mul_epi32(xv, _mm256_set1_epi64x(c[i])));
-            }
-            // Low 32 bits of each 64-bit lane -> 4 int32, arithmetic shift.
-            __m128i lo = _mm_castps_si128(_mm_shuffle_ps(
-                _mm_castsi128_ps(_mm256_castsi256_si128(acc)),
-                _mm_castsi128_ps(_mm256_extracti128_si256(acc, 1)),
-                _MM_SHUFFLE(2, 0, 2, 0)));
-            __m128i pred = _mm_sra_epi32(lo, _mm_cvtsi32_si128(rs));
-            __m128i xs = _mm_loadu_si128((const __m128i *)(x + s));
-            _mm_storeu_si128((__m128i *)(r + s), _mm_add_epi32(xs, pred));
-        }
+#if defined(SRLA_X86_SIMD)
+        if (srla_has_avx2())
+            s = fir_rows_avx2(x, r, c, o, rs, half, n);
 #endif
         for (; s < n; s++) {
             int64_t acc = half;

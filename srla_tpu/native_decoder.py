@@ -32,16 +32,15 @@ def _load():
                 or any(os.path.getmtime(so_path) < os.path.getmtime(s)
                        for s in _SRCS)):
             cxx = os.environ.get("CXX", "g++")
-            # -ffp-contract=off: the exact-path f64 kernels must round every
-            # multiply/add separately (bit-parity with the host/reference).
+            # -ffp-contract=off and NO global -mavx2/-mfma: the exact-path
+            # f64 kernels must round every multiply/add separately (bit
+            # parity with the host/reference), and g++ does not reliably
+            # honor -ffp-contract=off in C++ once FMA is enabled globally.
+            # Integer SIMD kernels opt in via per-function target("avx2")
+            # attributes with runtime dispatch instead.
             cmd = [cxx, "-O3", "-fwrapv", "-ffp-contract=off", "-fPIC",
-                   "-shared", "-std=c++17", "-mavx2", "-mfma",
-                   *_SRCS, "-o", so_path]
-            r = subprocess.run(cmd, check=False, capture_output=True)
-            if r.returncode != 0:  # non-x86 toolchains: retry without SIMD
-                cmd.remove("-mavx2")
-                cmd.remove("-mfma")
-                subprocess.run(cmd, check=True, capture_output=True)
+                   "-shared", "-std=c++17", *_SRCS, "-o", so_path]
+            subprocess.run(cmd, check=True, capture_output=True)
     lib = ctypes.CDLL(so_path)
     lib.srla_decode_block.restype = ctypes.c_long
     lib.srla_decode_block.argtypes = [

@@ -120,3 +120,20 @@ def test_many_presets_one_signal():
         assert mine == ref, f"preset {preset} mismatch"
         _, out = decode(mine)
         assert np.array_equal(out, pcm)
+
+
+def test_tiny_odd_span_ltp_stale_pitch():
+    """Regression: -V with LTP creates tiny odd spans whose pitch detection
+    reads stale work-buffer lags beyond the FFT size; the FFT's complex
+    multiplies must round exactly like the reference's plain (non-FMA) form
+    or the catastrophic cancellation in impulse autocorrelations amplifies
+    last-ulp differences into different pitch decisions (found by fuzzing:
+    constant signals, 44101 samples, -m 2 -B 2048 -V 2 -P 3)."""
+    if not reference_available():
+        pytest.skip("reference binary unavailable")
+    for C, bits in ((2, 16), (8, 8)):
+        pcm = signals.positive_constant(44101, C, bits)
+        ref = ref_encode(pcm, bits, 44100, preset=2, B=2048, V=2, P=3)
+        mine = encode(pcm, bits, 44100, preset=2, max_block=2048,
+                      variable_divisions=2, ltp_order=3)
+        assert mine == ref
