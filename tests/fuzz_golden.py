@@ -1,0 +1,71 @@
+#!/usr/bin/env python3
+"""Differential fuzzer: random (signal, flags) configs byte-compared against
+the reference binary, plus lossless round-trip. Not collected by pytest
+(runtime is minutes); run manually:
+
+    python3 tests/fuzz_golden.py [N] [SEED]
+
+Found the FFT complex-multiply rounding divergence (see
+test_golden_exact.test_tiny_odd_span_ltp_stale_pitch).
+
+Known reference quirks skipped here:
+  - `-m 0 --svr-filter-learning-iteration N` segfaults the reference binary.
+  - The reference WAV parser rejects files smaller than 32 KiB.
+"""
+
+import random
+import sys
+
+import numpy as np
+
+sys.path.insert(0, __file__.rsplit("/", 2)[0])
+sys.path.insert(0, __file__.rsplit("/", 1)[0])
+
+import reference  # noqa: E402
+import signals  # noqa: E402
+from srla_tpu import decode, encode  # noqa: E402
+
+GENS = ["sine", "white_noise", "chirp", "gaussian_noise", "quiet_noise",
+        "silence", "positive_constant", "tiny_impulse"]
+
+
+def main(trials: int = 60, seed: int = 0) -> int:
+    rng = random.Random(seed)
+    fails = run = 0
+    for trial in range(trials):
+        gen = rng.choice(GENS)
+        C = rng.choice([1, 2, 2, 3, 8])
+        bits = rng.choice([8, 16, 16, 24])
+        n = rng.choice([44100, 88200, 44101, 65536, 131073, 12289])
+        m = rng.randint(0, 6)
+        B = rng.choice([2048, 4096, 8192])
+        V = rng.choice([0, 0, 1, 2])
+        P = rng.choice([0, 0, 0, 1, 3])
+        svr = 0 if m == 0 else rng.choice([0, 0, 0, 1])
+        if n * C * (bits // 8) < 32768:
+            continue
+        run += 1
+        tag = f"{gen} C={C} b={bits} n={n} -m{m} -B{B} -V{V} -P{P} svr={svr}"
+        try:
+            pcm = getattr(signals, gen)(n, C, bits)
+            ref = reference.ref_encode(pcm, bits, 44100, preset=m, B=B, V=V,
+                                       P=P, svr=svr)
+            mine = encode(pcm, bits, 44100, preset=m, max_block=B,
+                          variable_divisions=V, ltp_order=P,
+                          svr_iterations=svr)
+            _, out = decode(mine)
+            if mine != ref or not np.array_equal(out, pcm):
+                fails += 1
+                print(f"[{trial:03d}] FAIL {tag} exact={mine == ref}",
+                      flush=True)
+        except Exception as e:  # noqa: BLE001
+            fails += 1
+            print(f"[{trial:03d}] ERROR {tag}: {e}", flush=True)
+    print(f"fuzz: {fails} failures / {run} run (seed {seed})")
+    return 1 if fails else 0
+
+
+if __name__ == "__main__":
+    n = int(sys.argv[1]) if len(sys.argv) > 1 else 60
+    s = int(sys.argv[2]) if len(sys.argv) > 2 else 0
+    sys.exit(main(n, s))
