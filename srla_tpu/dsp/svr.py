@@ -53,20 +53,28 @@ def _covariance(data: np.ndarray, n: int, dim: int) -> np.ndarray:
 
 
 def svr_refine_one(data: np.ndarray, coef: np.ndarray, order: int, n: int,
-                   max_iter: int, ridge: float, margins) -> np.ndarray:
+                   max_iter: int, ridge: float, margins):
+    """Returns (refined coef, work-buffer contents or None).
+
+    The reference stores each iteration's soft-thresholded residual in the
+    persistent LPC work buffer (`residual = lpcc->buffer`, lpc.c:1050) — the
+    LAST executed iteration's values are what later stale-buffer reads see
+    (odd-length blocks / tiny LTP tails), so they are returned for the
+    encoder's state threading."""
     if max_iter == 0 or order == 0:
-        return coef
+        return coef, None
     cov = _covariance(data[:n], n, order)
     for i in range(order):
         cov[i, i] *= (1.0 + ridge)
     low = cholesky_decompose(cov, order)
     if low is None:
-        return np.zeros_like(coef)
+        return np.zeros_like(coef), None
     init = coef.copy()
     best = init.copy()
     cur = coef.copy()
     min_obj = _FLT_MAX
     d = data[:n]
+    last_buffer = None
     for margin in margins:
         prev_obj = _FLT_MAX
         cur[:] = init
@@ -83,6 +91,8 @@ def svr_refine_one(data: np.ndarray, coef: np.ndarray, order: int, n: int,
             th = resid[order:]
             sgn = np.sign(th)
             th = sgn * np.maximum(np.abs(th) - margin, 0.0)
+            resid[order:] = th   # in-place threshold, as the reference does
+            last_buffer = resid
             # r_vec[i] accumulates sample-sequentially in the reference.
             rvec = np.zeros(order)
             rev = d[::-1]
@@ -97,16 +107,19 @@ def svr_refine_one(data: np.ndarray, coef: np.ndarray, order: int, n: int,
                 break
             cur[:order] = cur[:order] + delta
             prev_obj = obj
-    return best
+    return best, last_buffer
 
 
 def svr_refine_batch(dbl: np.ndarray, coefs_f: np.ndarray, orders: np.ndarray,
                      n: int, max_iter: int, bps: int, ridge: float,
-                     margins) -> np.ndarray:
+                     margins):
+    """Returns (refined coefs, per-block work-buffer writes or None)."""
     out = coefs_f.copy()
+    bufs = [None] * dbl.shape[0]
     for b in range(dbl.shape[0]):
         o = int(orders[b])
         if o > 0:
-            out[b, :o] = svr_refine_one(dbl[b], coefs_f[b, :o].copy(), o, n,
-                                        max_iter, ridge, margins)
-    return out
+            out[b, :o], bufs[b] = svr_refine_one(dbl[b],
+                                                 coefs_f[b, :o].copy(), o, n,
+                                                 max_iter, ridge, margins)
+    return out, bufs

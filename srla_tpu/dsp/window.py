@@ -19,7 +19,9 @@ import numpy as np
 def welch_window(num_samples: int) -> np.ndarray:
     n = num_samples
     w = np.full(n, np.nan)
-    divisor = 4.0 * math.pow(n - 1, -2.0)
+    # C pow(0.0, -2.0) is +inf (n == 1: the loop below is empty anyway, the
+    # lone sample is the "unwritten middle"); Python's math.pow raises.
+    divisor = math.inf if n == 1 else 4.0 * math.pow(n - 1, -2.0)
     for smpl in range(n >> 1):
         weight = (divisor * smpl) * (n - 1 - smpl)
         w[smpl] = weight

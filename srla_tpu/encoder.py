@@ -152,24 +152,46 @@ class SRLAEncoder:
         ltp_coefs = np.zeros((B, max(ltp_order, 1)), dtype=np.int32)
         if ltp_order > 0:
             norm = 2.0 ** (-(bps - 1))
-            dbl = work.astype(np.float64) * norm
-            win = welch_window(n)
-            windowed = dbl * win
-            if n & 1:
-                windowed[:, n // 2] = (0.0 if state is None
-                                       else state[n // 2])
             max_lag = LTP_MAX_PERIOD + 1
-            ac, raw = autocorr_fft(windowed, n, max_lag, want_raw=True)
-            fft_size = round_up_pow2(n)
-            if max_lag > fft_size and state is not None:
-                # The reference reads stale buffer content for lags beyond
-                # the FFT size (tiny tail blocks with LTP enabled).
-                ac[:, fft_size:] = state[fft_size:max_lag] * (2.0 / n)
-            if want_state:
-                ns = state.copy() if state is not None else np.zeros(
-                    max(len(raw[0]), n))
-                ns[:raw.shape[1]] = raw[0]
-                state = ns
+            if n == 1:
+                # Degenerate 1-sample tail: the whole signal is the Welch
+                # window's unwritten middle, and the size-1 real FFT mixes
+                # it with stale buffer[1] (fft.c:147-198 with n=1).
+                s0 = 0.0 if state is None else float(state[0])
+                s1 = 0.0 if state is None else float(state[1])
+                b0, b1 = s0 + s1, s0 - s1
+                c0, c1 = b0 * b0, b1 * b1
+                y0, y1 = 0.5 * (c0 + c1), 0.5 * (c0 - c1)
+                base = (np.zeros(max_lag) if state is None
+                        else state[:max_lag].astype(np.float64).copy())
+                base[0] = y0
+                if max_lag > 1:
+                    base[1] = y1
+                ac = np.broadcast_to(base * 2.0, (B, max_lag)).copy()
+                if want_state:
+                    ns = (state.copy() if state is not None
+                          else np.zeros(2))
+                    ns[0] = y0
+                    ns[1] = y1
+                    state = ns
+            else:
+                dbl = work.astype(np.float64) * norm
+                win = welch_window(n)
+                windowed = dbl * win
+                if n & 1:
+                    windowed[:, n // 2] = (0.0 if state is None
+                                           else state[n // 2])
+                ac, raw = autocorr_fft(windowed, n, max_lag, want_raw=True)
+                fft_size = round_up_pow2(n)
+                if max_lag > fft_size and state is not None:
+                    # The reference reads stale buffer content for lags
+                    # beyond the FFT size (tiny tail blocks with LTP).
+                    ac[:, fft_size:] = state[fft_size:max_lag] * (2.0 / n)
+                if want_state:
+                    ns = state.copy() if state is not None else np.zeros(
+                        max(len(raw[0]), n))
+                    ns[:raw.shape[1]] = raw[0]
+                    state = ns
             acbuf = np.zeros((B, LTP_MAX_PERIOD + 3))
             acbuf[:, :max_lag] = ac
             for b in range(B):
@@ -239,7 +261,14 @@ class SRLAEncoder:
             if self.p.num_svr_filter_learning_iteration > 0:
                 if dbl is None:
                     dbl = work.astype(np.float64) * norm
-                coefs_f = self._svr_refine(dbl, coefs_f, orders, n)
+                coefs_f, svr_bufs = self._svr_refine(dbl, coefs_f, orders, n)
+                if want_state and svr_bufs[0] is not None:
+                    # The reference's SVR writes its soft-thresholded
+                    # residuals into the persistent work buffer; thread it.
+                    ns = (state.copy() if state is not None
+                          else np.zeros(max(n, 2)))
+                    ns[:n] = svr_bufs[0]
+                    state = ns
             int_coefs, rshifts = quantize_coefficients(
                 coefs_f, orders, LPC_COEFFICIENT_BITWIDTH,
                 1 << RSHIFT_LPC_COEFFICIENT_BITWIDTH)

@@ -137,3 +137,29 @@ def test_tiny_odd_span_ltp_stale_pitch():
         mine = encode(pcm, bits, 44100, preset=2, max_block=2048,
                       variable_divisions=2, ltp_order=3)
         assert mine == ref
+
+
+def test_svr_buffer_state_odd_window():
+    """Regression: the reference's SVR writes soft-thresholded residuals into
+    the persistent work buffer (lpc.c:1050); odd-window stale reads must see
+    them (found by fuzzing: -m 6 -B 8192 -V 1 --svr 1, odd length)."""
+    if not reference_available():
+        pytest.skip("reference binary unavailable")
+    pcm = signals.chirp(44101, 3, 24)
+    ref = ref_encode(pcm, 24, 44100, preset=6, B=8192, V=1, svr=1)
+    mine = encode(pcm, 24, 44100, preset=6, max_block=8192,
+                  variable_divisions=1, svr_iterations=1)
+    assert mine == ref
+
+
+def test_one_sample_tail_with_ltp_lossless():
+    """Preset 0 analyzes even a 1-sample tail; its LTP autocorrelation is the
+    degenerate size-1 FFT over stale buffer content. The REFERENCE BINARY
+    SEGFAULTS on this input — we only assert our own losslessness."""
+    for n in (12289, 131073):
+        pcm = signals.chirp(n, 2, 16)
+        for P in (1, 3):
+            data = encode(pcm, 16, 44100, preset=0, max_block=4096,
+                          ltp_order=P)
+            _, out = decode(data)
+            assert np.array_equal(out, pcm)
