@@ -10,9 +10,9 @@ test_golden_exact.test_tiny_odd_span_ltp_stale_pitch).
 
 Known reference quirks skipped here (all handled gracefully by srla_tpu):
   - `-m 0 --svr-filter-learning-iteration N` segfaults the reference binary.
-  - `-m 0 -P n` with a 1-sample tail block segfaults the reference binary
-    (preset 0 analyzes every non-silent tail; its LTP autocorrelation hits a
-    size-1 FFT).
+  - `-m 0` with a 1-sample tail block segfaults the reference binary (with
+    or without LTP: preset 0 analyzes every non-silent tail and its
+    autocorrelation hits a degenerate size-1 FFT).
   - The reference WAV parser rejects files smaller than 32 KiB.
 """
 
@@ -47,8 +47,8 @@ def main(trials: int = 60, seed: int = 0) -> int:
         svr = 0 if m == 0 else rng.choice([0, 0, 0, 1])
         if n * C * (bits // 8) < 32768:
             continue
-        if m == 0 and P > 0 and n % (B >> V) == 1:
-            continue  # reference segfault (1-sample analyzed tail + LTP)
+        if m == 0 and n % (B >> V) == 1:
+            continue  # reference segfault (1-sample analyzed tail)
         run += 1
         tag = f"{gen} C={C} b={bits} n={n} -m{m} -B{B} -V{V} -P{P} svr={svr}"
         try:
