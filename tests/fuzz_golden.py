@@ -41,8 +41,11 @@ def main(trials: int = 60, seed: int = 0) -> int:
         bits = rng.choice([8, 16, 16, 24])
         n = rng.choice([44100, 88200, 44101, 65536, 131073, 12289])
         m = rng.randint(0, 6)
-        B = rng.choice([2048, 4096, 8192])
+        B = rng.choice([2048, 4096, 8192, 3000, 5120])
         V = rng.choice([0, 0, 1, 2])
+        if B % (1 << V):
+            V = 0
+        L = rng.choice([4, 4, 8])
         P = rng.choice([0, 0, 0, 1, 3])
         svr = 0 if m == 0 else rng.choice([0, 0, 0, 1])
         if n * C * (bits // 8) < 32768:
@@ -50,14 +53,15 @@ def main(trials: int = 60, seed: int = 0) -> int:
         if m == 0 and n % (B >> V) == 1:
             continue  # reference segfault (1-sample analyzed tail)
         run += 1
-        tag = f"{gen} C={C} b={bits} n={n} -m{m} -B{B} -V{V} -P{P} svr={svr}"
+        tag = (f"{gen} C={C} b={bits} n={n} -m{m} -B{B} -V{V} -L{L} "
+               f"-P{P} svr={svr}")
         try:
             pcm = getattr(signals, gen)(n, C, bits)
             ref = reference.ref_encode(pcm, bits, 44100, preset=m, B=B, V=V,
-                                       P=P, svr=svr)
+                                       P=P, L=L, svr=svr)
             mine = encode(pcm, bits, 44100, preset=m, max_block=B,
                           variable_divisions=V, ltp_order=P,
-                          svr_iterations=svr)
+                          lookahead_factor=L, svr_iterations=svr)
             _, out = decode(mine)
             if mine != ref or not np.array_equal(out, pcm):
                 fails += 1
