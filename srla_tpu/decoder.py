@@ -44,8 +44,15 @@ class _BlockParams:
 
 
 class SRLADecoder:
-    def __init__(self, check_checksum: bool = True, use_native: bool = True):
+    def __init__(self, check_checksum: bool = True, use_native: bool = True,
+                 backend: str = "native"):
+        """backend="native": C++ whole-stream decode (fastest on one host).
+        backend="tpu": entropy decode on host, the synthesis recurrences as
+        batched device scans over the block axis (the BASELINE 'scan-based
+        decode' shape — blocks are independent, so the within-block serial
+        recurrence becomes one lax.scan step per sample over all blocks)."""
         self.check_checksum = check_checksum
+        self.backend = backend
         self._param_cb = parameter_codebook()
         self._sum_cb = sum_parameter_codebook()
         self._native = None
@@ -160,6 +167,8 @@ class SRLADecoder:
     def decode_whole(self, data: bytes) -> tuple[StreamHeader, np.ndarray]:
         header = decode_header(data)
         C, N = header.num_channels, header.num_samples
+        if self.backend == "tpu":
+            return header, self._decode_whole_device(data, header)
         if self._native is not None:
             pcm = self._native.decode_stream(
                 data[HEADER_SIZE:], C, header.bits_per_sample, N,
@@ -188,6 +197,62 @@ class SRLADecoder:
             offset = poff + psize
             progress += nsamples
         return header, pcm
+
+
+    def _decode_whole_device(self, data: bytes,
+                             header: StreamHeader) -> np.ndarray:
+        """Scan-based decode: per-block entropy decode feeds batched device
+        synthesis (one scan over the sample axis for ALL blocks at once);
+        LTP blocks and the de-correlation/shift epilogue stay host-side."""
+        from .kernels.decode import synthesize_blocks
+
+        C, N = header.num_channels, header.num_samples
+        pcm = np.zeros((C, N), dtype=np.int32)
+        offset = HEADER_SIZE
+        progress = 0
+        groups: dict[int, list] = {}   # n -> [(progress, bp)]
+        while progress < N and offset < len(data):
+            btype, nsamples, poff, psize = parse_block_header(
+                data, offset, self.check_checksum)
+            payload = data[poff:poff + psize]
+            if btype == BlockDataType.RAW:
+                pcm[:, progress:progress + nsamples] = self.decode_raw_block(
+                    payload, header, nsamples)
+            elif btype == BlockDataType.COMPRESS:
+                bp = self.decode_block_params(payload, header, nsamples)
+                if (bp.ltp_periods > 0).any():
+                    pcm[:, progress:progress + nsamples] = \
+                        self.synthesize_block(bp, header, nsamples)
+                else:
+                    groups.setdefault(nsamples, []).append((progress, bp))
+            offset = poff + psize
+            progress += nsamples
+        for n, entries in groups.items():
+            res = np.stack([bp.residual for _, bp in entries])  # (B, C, n)
+            B = res.shape[0]
+            flat = res.reshape(B * C, n)
+            coefs = np.stack([bp.coefs for _, bp in entries]).reshape(B * C,
+                                                                      -1)
+            orders = np.stack([bp.orders for _, bp in entries]).ravel()
+            rshifts = np.stack([bp.rshifts for _, bp in entries]).ravel()
+            pre_c = np.stack([bp.pre_coef for _, bp in entries]).ravel()
+            pre_p = np.stack([bp.pre_prev for _, bp in entries]).ravel()
+            out = synthesize_blocks(flat, coefs, orders, rshifts, pre_c,
+                                    pre_p, n).reshape(B, C, n)
+            with np.errstate(over="ignore"):
+                for (prog, bp), buf in zip(entries, out):
+                    buf = buf.astype(np.int32)
+                    if bp.method == ChProcessMethod.MS:
+                        buf[0] = (buf[0] - (buf[1] >> 1)).astype(np.int32)
+                        buf[1] = (buf[1] + buf[0]).astype(np.int32)
+                    elif bp.method == ChProcessMethod.LS:
+                        buf[1] = (buf[1] + buf[0]).astype(np.int32)
+                    elif bp.method == ChProcessMethod.SR:
+                        buf[0] = (buf[1] - buf[0]).astype(np.int32)
+                    if header.offset_lshift:
+                        buf = (buf << header.offset_lshift).astype(np.int32)
+                    pcm[:, prog:prog + n] = buf
+        return pcm
 
 
 def decode(data: bytes, check_checksum: bool = True):

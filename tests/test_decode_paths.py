@@ -5,7 +5,7 @@ import numpy as np
 import pytest
 
 import signals
-from srla_tpu import encode
+from srla_tpu import decode, encode
 from srla_tpu.decoder import SRLADecoder
 from srla_tpu.streaming import StreamingDecoder
 
@@ -65,3 +65,22 @@ def test_jax_synthesis_matches_host():
                             pre_prev, n)
     assert np.array_equal(dev, host)
     assert np.array_equal(host, data)
+
+
+@pytest.mark.parametrize("kw", [dict(preset=4), dict(preset=0),
+                                dict(preset=2, ltp_order=3),
+                                dict(preset=6, variable_divisions=2)])
+def test_device_scan_decode_matches_host(kw):
+    """backend='tpu' decode (batched lax.scan synthesis) must reproduce the
+    host decode exactly, including mixed LTP/stereo/raw/silent blocks."""
+    from srla_tpu.decoder import SRLADecoder
+
+    rng = np.random.RandomState(5)
+    sig = (np.clip(rng.randn(2, 4096 * 5 + 7), -4, 4) * 800).astype(np.int32)
+    sig[:, 4096:8192] = 0  # silent block
+    sig <<= 3              # exercise offset_lshift (stays within 16 bits)
+    data = encode(sig, 16, 44100, **kw)
+    _, host = decode(data)
+    hdr, dev = SRLADecoder(backend="tpu").decode_whole(data)
+    assert np.array_equal(dev, host)
+    assert np.array_equal(dev, sig)
