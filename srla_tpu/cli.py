@@ -37,7 +37,9 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--no-checksum-check", action="store_true",
                    help="Skip checksum verification at decode")
     p.add_argument("--backend", choices=["exact", "tpu"], default="exact",
-                   help="exact: bit-identical host path; tpu: JAX fast path")
+                   help="encode: exact = bit-identical host path, tpu = JAX "
+                        "fast path; decode: exact = native host decode, "
+                        "tpu = batched scan synthesis on device")
     p.add_argument("-v", "--version", action="version", version="srla-tpu 0.1")
     p.add_argument("input", help="Input file")
     p.add_argument("output", help="Output file")
@@ -97,8 +99,10 @@ def main(argv=None) -> int:
         with open(args.input, "rb") as f:
             data = f.read()
         try:
-            header, pcm = decoder.decode(
-                data, check_checksum=not args.no_checksum_check)
+            dec = decoder.SRLADecoder(
+                check_checksum=not args.no_checksum_check,
+                backend="tpu" if args.backend == "tpu" else "native")
+            header, pcm = dec.decode_whole(data)
         except ValueError as e:
             print(f"decoding error: {e}", file=sys.stderr)
             return 1
