@@ -111,6 +111,8 @@ class BitReader:
     def get_zero_run(self) -> int:
         """Read zeros until the next 1 (consuming it); return the zero count."""
         i = np.searchsorted(self._ones, self.pos)
+        if i >= len(self._ones):
+            raise ValueError("insufficient data")
         one_pos = int(self._ones[i])
         run = one_pos - self.pos
         self.pos = one_pos + 1

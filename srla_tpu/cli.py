@@ -10,6 +10,7 @@ Flags mirror the reference CLI (tools/srla_codec/srla_codec.c:39-63):
 from __future__ import annotations
 
 import argparse
+import struct
 import sys
 import time
 
@@ -103,7 +104,7 @@ def main(argv=None) -> int:
                 check_checksum=not args.no_checksum_check,
                 backend="tpu" if args.backend == "tpu" else "native")
             header, pcm = dec.decode_whole(data)
-        except ValueError as e:
+        except (ValueError, struct.error, IndexError) as e:
             print(f"decoding error: {e}", file=sys.stderr)
             return 1
         write_wav(args.output,

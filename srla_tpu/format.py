@@ -60,6 +60,14 @@ def decode_header(data: bytes) -> StreamHeader:
         raise ValueError("unsupported version")
     if nch == 0 or nsmpl == 0 or rate == 0 or preset >= NUM_PARAMETER_PRESETS:
         raise ValueError("invalid header field")
+    # Mirror SRLADecoder_CheckHeaderFormat (srla_decoder.c:165-178): these
+    # fields flow into shift counts and buffer-size math downstream, so an
+    # unvalidated header is not just wrong but unsafe (native br.get(bps+1),
+    # out[i] << offset_lshift, RAW read size).
+    if bps not in (8, 16, 24):
+        raise ValueError("invalid header field")
+    if lshift >= 32 or maxblk == 0:
+        raise ValueError("invalid header field")
     return StreamHeader(nch, nsmpl, rate, bps, lshift, maxblk, preset,
                         fmt_ver, codec_ver)
 

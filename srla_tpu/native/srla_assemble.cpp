@@ -100,7 +100,22 @@ long srla_assemble_blocks(
     const long raw_bits = (long)bps * n * C;
     for (long b = 0; b < B; b++) {
         uint8_t *blk = w;
-        if (blk + 11 - out > out_cap) return -1;
+        // Pre-check an upper bound of this block's framed size BEFORE any
+        // write: plain-coded coefficients bound the Huffman section (use_sum
+        // is only chosen when no longer than plain), so a capacity
+        // under-estimate fails cleanly instead of overrunning the buffer.
+        long bound_bits = 2 + (long)C * (bps + 1 + 5) + 7;
+        for (int c = 0; c < C; c++) {
+            const int o = orders[b * C + c];
+            const int32_t *cf = coefs + ((long)b * C + c) * maxorder;
+            bound_bits += 8 + 4 + 1;
+            for (int i = 0; i < o; i++) bound_bits += plens[zigzag(cf[i])];
+            bound_bits += 1;
+            if (ltp_periods && ltp_periods[b * C + c])
+                bound_bits += 1 + 8 + 6 * (long)ltp_order;
+            bound_bits += sec_bits[b * C + c];
+        }
+        if ((blk - out) + 11 + bound_bits / 8 + 1 > out_cap) return -1;
         // Header written after payload (size/checksum fixups).
         uint8_t *pl = blk + 11;
         BitWriter bw;

@@ -191,6 +191,9 @@ int rice_decode_channel(BitReader &br, int32_t *out, int n) {  // rc codes
     }
     if (code_type > 2) return -30;
     uint32_t porder = br.get(10);
+    // Valid streams use porder <= 10 (SRLACODER_LOG2_MAX_NUM_PARTITIONS);
+    // anything larger is corrupt, and shifting by >= 31 below would be UB.
+    if (porder > 10) return -40 - (int)porder;
     int nparts = 1 << porder;
     if (nparts > n || n % nparts) return -40 - (int)porder;
     int nsmpl = n / nparts;
@@ -430,6 +433,10 @@ long srla_decode_stream(
         } else if (btype == 2) {  // RAW: interleaved zigzag BE PCM
             const uint8_t *rp = payload;
             int nbytes = bits_per_sample / 8;
+            // A crafted block can claim more samples than its payload holds;
+            // reading them would run past the buffer (reference guards this
+            // at srla_decoder.c:389, INSUFFICIENT_DATA).
+            if (psize < (long)ns * C * nbytes) return -1;
             for (int s = 0; s < ns; s++) {
                 for (int c = 0; c < C; c++) {
                     uint32_t uv = 0;

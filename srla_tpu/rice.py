@@ -296,6 +296,7 @@ def emit_channel(writer: BitWriter, uvals: np.ndarray, num_samples: int,
             writer.put(int(v) & ((1 << k) - 1), k)
 
 
+
 def decode(reader: BitReader, num_samples: int) -> np.ndarray:
     """Decode one channel-block of residuals."""
     code_type = reader.get(2)
@@ -303,6 +304,12 @@ def decode(reader: BitReader, num_samples: int) -> np.ndarray:
     if code_type == CodeType.ALLZERO:
         return out
     porder = reader.get(CODER_LOG2_MAX_NUM_PARTITIONS)
+    # Valid streams keep porder <= 10 and the partition count dividing the
+    # sample count (srla_coder.c:357-363); anything else is corruption, and
+    # an unchecked 1 << porder would allocate/loop unboundedly.
+    if porder > CODER_LOG2_MAX_NUM_PARTITIONS or (1 << porder) > num_samples \
+            or num_samples % (1 << porder):
+        raise ValueError("corrupt stream (partition order)")
     nparts = 1 << porder
     nsmpl = num_samples >> porder
     bits = reader._bits
@@ -319,39 +326,48 @@ def decode(reader: BitReader, num_samples: int) -> np.ndarray:
             v = (v << 1) | int(b)
         return v
 
-    for part in range(nparts):
-        if part == 0:
-            k = read_bits(pos, CODER_RICE_PARAMETER_BITS)
-            pos += CODER_RICE_PARAMETER_BITS
-        else:
-            while ones[oidx] < pos:
-                oidx += 1
-            run = int(ones[oidx]) - pos
-            pos = int(ones[oidx]) + 1
-            oidx += 1
-            k += int(uint32_to_sint32(np.uint32(run)))
-        base = part * nsmpl
-        if recursive:
-            k2 = k
-            for i in range(nsmpl):
+    # Truncated/corrupt payloads exhaust the ones index mid-codeword; surface
+    # that as the same "insufficient data" error the byte layer raises.
+    try:
+        for part in range(nparts):
+            if part == 0:
+                k = read_bits(pos, CODER_RICE_PARAMETER_BITS)
+                pos += CODER_RICE_PARAMETER_BITS
+            else:
                 while ones[oidx] < pos:
                     oidx += 1
-                quot = int(ones[oidx]) - pos
+                run = int(ones[oidx]) - pos
                 pos = int(ones[oidx]) + 1
                 oidx += 1
-                nread = k2 + (1 if quot == 0 else 0)
-                val = read_bits(pos, nread)
-                pos += nread
-                uvals[base + i] = val | ((quot + (1 if quot else 0)) << k2)
-        else:
-            for i in range(nsmpl):
-                while ones[oidx] < pos:
+                k += int(uint32_to_sint32(np.uint32(run)))
+            if k < 0 or k > 31:
+                raise ValueError("corrupt stream (rice parameter)")
+            base = part * nsmpl
+            if recursive:
+                k2 = k
+                for i in range(nsmpl):
+                    while ones[oidx] < pos:
+                        oidx += 1
+                    quot = int(ones[oidx]) - pos
+                    pos = int(ones[oidx]) + 1
                     oidx += 1
-                quot = int(ones[oidx]) - pos
-                pos = int(ones[oidx]) + 1
-                oidx += 1
-                val = read_bits(pos, k)
-                pos += k
-                uvals[base + i] = (quot << k) + val
+                    nread = k2 + (1 if quot == 0 else 0)
+                    val = read_bits(pos, nread)
+                    pos += nread
+                    uvals[base + i] = val | ((quot + (1 if quot else 0)) << k2)
+            else:
+                for i in range(nsmpl):
+                    while ones[oidx] < pos:
+                        oidx += 1
+                    quot = int(ones[oidx]) - pos
+                    pos = int(ones[oidx]) + 1
+                    oidx += 1
+                    val = read_bits(pos, k)
+                    pos += k
+                    uvals[base + i] = (quot << k) + val
+    except IndexError:
+        raise ValueError("insufficient data") from None
+    if pos > len(bits):
+        raise ValueError("insufficient data")
     reader.pos = pos
     return uint32_to_sint32(uvals.astype(np.uint32))
