@@ -85,7 +85,29 @@ def read_wav(path: str) -> WavData:
         pos += 8 + size + (size & 1)
     if fmt is None or data is None:
         raise ValueError("missing fmt/data chunk")
-    (_tag, nch, rate, _brate, _balign, bps) = struct.unpack_from("<HHIIHH", fmt)
+    # Format-tag handling mirrors WAVParser_ParseWAVFormat (wav.c:136-215):
+    # fmt size 16 = PCMWAVEFORMAT (tag must be 1), 40 = WAVEFORMATEXTENSIBLE
+    # (tag must be 0xFFFE, cbSize 22); we additionally accept the common
+    # 18-byte WAVEFORMATEX with tag 1 / cbSize 0, and verify the extensible
+    # subformat GUID is integer PCM so float WAVs are rejected, not misread.
+    if len(fmt) not in (16, 18, 40):
+        raise ValueError(f"unsupported fmt chunk size {len(fmt)}")
+    (tag, nch, rate, _brate, _balign, bps) = struct.unpack_from("<HHIIHH", fmt)
+    if len(fmt) == 40:
+        if tag != 0xFFFE:
+            raise ValueError("extensible fmt chunk with non-extensible tag")
+        cb_size, _valid_bits, _chan_mask = struct.unpack_from("<HHI", fmt, 16)
+        if cb_size != 22:
+            raise ValueError("malformed WAVEFORMATEXTENSIBLE fmt chunk")
+        guid = fmt[24:40]
+        pcm_guid = (b"\x01\x00\x00\x00\x00\x00\x10\x00"
+                    b"\x80\x00\x00\xaa\x00\x38\x9b\x71")
+        if guid != pcm_guid:
+            raise ValueError("unsupported WAV subformat (not integer PCM)")
+    elif tag != 1:
+        raise ValueError(f"unsupported WAV format tag {tag} (PCM only)")
+    if bps not in (8, 16, 24, 32) or nch == 0:
+        raise ValueError(f"unsupported WAV layout ({bps}-bit, {nch} ch)")
     nbytes = bps // 8
     n = len(data) // (nbytes * nch)
     buf = np.frombuffer(data[:n * nbytes * nch], dtype=np.uint8)

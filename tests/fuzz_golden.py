@@ -35,6 +35,9 @@ GENS = ["sine", "white_noise", "chirp", "gaussian_noise", "quiet_noise",
 def main(trials: int = 60, seed: int = 0) -> int:
     rng = random.Random(seed)
     fails = run = 0
+    have_ref = reference.reference_available()
+    if not have_ref:
+        print("fuzz: reference binary unavailable, round-trip checks only")
     for trial in range(trials):
         gen = rng.choice(GENS)
         C = rng.choice([1, 2, 2, 3, 8])
@@ -57,16 +60,17 @@ def main(trials: int = 60, seed: int = 0) -> int:
                f"-P{P} svr={svr}")
         try:
             pcm = getattr(signals, gen)(n, C, bits)
-            ref = reference.ref_encode(pcm, bits, 44100, preset=m, B=B, V=V,
-                                       P=P, L=L, svr=svr)
+            ref = (reference.ref_encode(pcm, bits, 44100, preset=m, B=B, V=V,
+                                        P=P, L=L, svr=svr)
+                   if have_ref else None)
             mine = encode(pcm, bits, 44100, preset=m, max_block=B,
                           variable_divisions=V, ltp_order=P,
                           lookahead_factor=L, svr_iterations=svr)
             _, out = decode(mine)
-            if mine != ref or not np.array_equal(out, pcm):
+            exact = ref is None or mine == ref
+            if not exact or not np.array_equal(out, pcm):
                 fails += 1
-                print(f"[{trial:03d}] FAIL {tag} exact={mine == ref}",
-                      flush=True)
+                print(f"[{trial:03d}] FAIL {tag} exact={exact}", flush=True)
         except Exception as e:  # noqa: BLE001
             fails += 1
             print(f"[{trial:03d}] ERROR {tag}: {e}", flush=True)
