@@ -69,7 +69,13 @@ def main():
         stream = encode(pcm, 16, rate, preset=4, backend=backend)
         times.append(time.time() - t0)
     encode_xrt = seconds / min(times)
-    t1 = time.time()
+
+    # Exact host backend row (regression tracking for the CPU path); in
+    # exact device mode the streams must be byte-identical.
+    t0 = time.time()
+    stream_exact = encode(pcm, 16, rate, preset=4, backend="exact")
+    exact_xrt = seconds / (time.time() - t0)
+    byte_exact = stream == stream_exact
 
     t2 = time.time()
     _, out = decode(stream)
@@ -80,7 +86,9 @@ def main():
     ratio = 100.0 * len(stream) / raw_bytes
     print(f"bench[{backend}]: encode {min(times):.2f}s ({encode_xrt:.1f}x RT), "
           f"decode {t3 - t2:.2f}s ({decode_xrt:.1f}x RT), "
-          f"compression {ratio:.2f}%, lossless={lossless}",
+          f"compression {ratio:.2f}%, lossless={lossless}; "
+          f"exact-host encode {exact_xrt:.1f}x RT, "
+          f"device==host bytes: {byte_exact}",
           file=sys.stderr)
     if not lossless:
         print(json.dumps({"metric": "encode_xrt_m4_b4096", "value": 0.0,
@@ -92,6 +100,10 @@ def main():
         "value": round(encode_xrt, 2),
         "unit": "x_realtime",
         "vs_baseline": round(encode_xrt / BASELINE_ENCODE_XRT, 4),
+        "decode_xrt": round(decode_xrt, 2),
+        "exact_host_xrt": round(exact_xrt, 2),
+        "compression_pct": round(ratio, 2),
+        "byte_exact_vs_host": bool(byte_exact),
     }))
     return 0
 

@@ -109,13 +109,35 @@ class SRLAEncoder:
                  mesh=None):
         parameter.validate()
         self.p = parameter
-        # The TPU fast path covers LTP for fixed-size blocks; variable-block
-        # search with LTP stays on the exact host path (its span measurement
-        # does not model LTP bits).
-        self.backend = "exact" if (
-            backend == "tpu" and parameter.ltp_order > 0
-            and parameter.min_num_samples_per_block
-            != parameter.max_num_samples_per_block) else backend
+        import os
+        # Device analysis modes:
+        #  - exact (default): df64 analysis + boundary flagging
+        #    (kernels/exact.py) — decisions provably equal the f64 host
+        #    oracle, output byte-identical to the reference and
+        #    deterministic. LTP/SVR don't have exact device pipelines yet,
+        #    so those configs run on the host (logged in self.stats).
+        #  - approx (SRLA_TPU_APPROX=1): the f32 fast path
+        #    (kernels/encode.py) — lossless but not reference-byte-exact and
+        #    not run-reproducible; covers LTP on device.
+        self._approx_device = os.environ.get("SRLA_TPU_APPROX", "") == "1"
+        if backend == "tpu" and self._approx_device \
+                and parameter.ltp_order > 0 \
+                and parameter.min_num_samples_per_block \
+                != parameter.max_num_samples_per_block:
+            # The approx fast path covers LTP for fixed-size blocks only.
+            backend = "exact"
+        self.backend = backend
+        self._device_exact_ok = (
+            parameter.ltp_order == 0
+            and parameter.num_svr_filter_learning_iteration == 0
+            and parameter.bits_per_sample <= 24)
+        # Per-encode capability/fallback accounting (no silent capability
+        # holes: every block that falls back to the host is counted here).
+        self.stats = {"device_blocks": 0, "host_blocks": 0,
+                      "repaired_blocks": 0, "w_overflow_blocks": 0,
+                      "device_unsupported_config": (
+                          backend == "tpu" and not self._approx_device
+                          and not self._device_exact_ok)}
         # Optional jax.sharding.Mesh: device analysis inputs are placed with
         # the block axis sharded over it (multi-chip block parallelism).
         self.mesh = mesh
@@ -651,7 +673,8 @@ class SRLAEncoder:
             # Large equal-size groups go through the device pipeline
             # (analysis + residual packing on TPU); small groups stay host.
             if self.backend == "tpu" and len(idxs) * max(C, 2) >= 8 \
-                    and size % 2 == 0:
+                    and size % 2 == 0 \
+                    and (self._approx_device or self._device_exact_ok):
                 results.update(self._encode_group_hybrid(
                     pcm, spans, idxs, size, offset_lshift))
                 continue
@@ -714,6 +737,7 @@ class SRLAEncoder:
         out = {i: self._finish_block(pcm, spans, i, size, params,
                                      int(method[bi]), bi, C)
                for bi, i in enumerate(idxs)}
+        self.stats["host_blocks"] += len(idxs)
         self._report_progress(len(idxs) * size)
         return out
 
@@ -732,11 +756,15 @@ class SRLAEncoder:
         are fetched, hiding tunnel latency); the host thread steals from the
         back. Every block is a valid, losslessly-decodable unit from either
         path, so any split yields a correct stream and the faster side
-        automatically does more. Note the two paths are not bit-identical
-        per block (the device analysis picks parameters in f32), so the
-        `tpu` backend's output — unlike the default `exact` backend — is
-        not reproducible across runs and not byte-exact vs the reference;
-        it is always lossless, within ~2% of the exact compressed size."""
+        automatically does more.
+
+        In the default exact device mode (kernels/exact.py) both paths emit
+        byte-identical blocks — boundary-flagged blocks are host-re-derived —
+        so the stream is byte-exact vs the reference and deterministic
+        regardless of how the work-stealing race splits the queue. With
+        SRLA_TPU_APPROX=1 the old f32 analysis is used instead: lossless and
+        within ~2% of the exact compressed size, but neither reproducible
+        across runs nor reference-byte-exact."""
         import os
         import threading
         import concurrent.futures as cf
@@ -947,7 +975,11 @@ class SRLAEncoder:
                          offset_lshift: int) -> dict:
         """Upload one equal-size group and dispatch its on-device analysis
         (async); returns handles for _device_finish."""
-        from .kernels.encode import analyze_blocks_ex
+        if self._approx_device:
+            from .kernels.encode import analyze_blocks_ex
+        else:
+            from .kernels.exact import \
+                analyze_blocks_exact as analyze_blocks_ex
 
         C = pcm.shape[0]
         B = len(idxs)
@@ -970,9 +1002,10 @@ class SRLAEncoder:
                 padded = jax.device_put(
                     padded, NamedSharding(self.mesh,
                                           PartitionSpec(axis, None, None)))
+        args = (self._device_args_ex(size) if self._approx_device
+                else self._device_args(size))
         small, big = analyze_blocks_ex(
-            padded, np.int32(offset_lshift), C=C,
-            **self._device_args_ex(size))
+            padded, np.int32(offset_lshift), C=C, **args)
         return dict(idxs=idxs, small=small, big=big, B=B, Bp=Bp, W=W, C=C)
 
     def _encode_group_device(self, pcm: np.ndarray, spans, idxs, size: int,
@@ -996,6 +1029,15 @@ class SRLAEncoder:
         C, B, Bp, W = st["C"], st["B"], st["Bp"], st["W"]
         bps = self.p.bits_per_sample
         small = jax.device_get(st["small"])
+        # Boundary-flagged variants (exact kernel only): their decisions are
+        # not proven equal to the host oracle — re-derive those blocks on the
+        # exact host path (any variant flag taints the whole block, since the
+        # stereo argmin consults all variants).
+        risky_bi = np.zeros(B, bool)
+        if "risky" in small:
+            nvar = C + 2 if C >= 2 else 1
+            risky_bi = np.asarray(
+                small["risky"]).reshape(nvar, Bp)[:, :B].any(axis=0)
         sec_bits = small["section_bits"].astype(np.int64)
         orders = small["orders"]
         maxp = max(self.preset.max_num_parameters, 1)
@@ -1035,19 +1077,30 @@ class SRLAEncoder:
             return vix * Bp + bi
 
         raw_bits = bps * size * C
-        compress_idx = [bi for bi in range(B) if int(bits[bi]) < raw_bits]
+        results: dict[int, bytes] = {}
+        # Host repair of boundary-flagged blocks (exact decisions unproven).
+        repair = [bi for bi in range(B) if risky_bi[bi]]
+        if repair:
+            self.stats["repaired_blocks"] += len(repair)
+            results.update(self._encode_host_batch(
+                pcm, spans, [idxs[bi] for bi in repair], size,
+                offset_lshift))
+        compress_idx = [bi for bi in range(B)
+                        if int(bits[bi]) < raw_bits and not risky_bi[bi]]
         # Device sections truncate at W words; punt those blocks to the host.
         safe = []
         for bi in compress_idx:
             rows = [row_of(bi, c) for c in range(C)]
             if all(int(sec_bits[r]) <= W * 32 for r in rows):
                 safe.append(bi)
-        results: dict[int, bytes] = {}
-        for bi in set(compress_idx) - set(safe):
+        overflow = set(compress_idx) - set(safe)
+        self.stats["w_overflow_blocks"] += len(overflow)
+        for bi in overflow:
             i = idxs[bi]
             sub = self._encode_spans(pcm, [spans[i]], offset_lshift)
             results[i] = sub[0]
         compress_idx = safe
+        self.stats["device_blocks"] += len(safe)
 
         # Pack ONLY the chosen rows on device, compacted, one transfer.
         chosen_rows = [row_of(bi, c) for bi in compress_idx for c in range(C)]
@@ -1123,7 +1176,7 @@ class SRLAEncoder:
                                              payload)
         # Raw-fallback blocks decided up front.
         for bi in range(B):
-            if int(bits[bi]) >= raw_bits:
+            if int(bits[bi]) >= raw_bits and not risky_bi[bi]:
                 i = idxs[bi]
                 blk = pcm[:, spans[i][0]:spans[i][0] + size].astype(np.int32)
                 results[i] = frame_block(BlockDataType.RAW, size,
@@ -1370,7 +1423,9 @@ class SRLAEncoder:
         if idxs_compress:
             blocks = np.stack([window[:, offsets[k]:offsets[k] + size]
                                for k in idxs_compress]).astype(np.int32)
-            if self.backend == "tpu" and len(idxs_compress) * max(C, 2) >= 8:
+            if self.backend == "tpu" and len(idxs_compress) * max(C, 2) >= 8 \
+                    and size % 2 == 0 \
+                    and (self._approx_device or self._device_exact_ok):
                 bits = self._measure_group_device(blocks, size, offset_lshift)
             else:
                 _method, _params, bits = self._compute_coefficients(
@@ -1385,31 +1440,58 @@ class SRLAEncoder:
 
     def _measure_group_device(self, blocks: np.ndarray, size: int,
                               offset_lshift: int) -> np.ndarray:
-        """Estimated block bit counts from the device analysis (fetches only
-        the small per-variant arrays — residuals never cross the link)."""
+        """Block bit counts from the device analysis (fetches only the small
+        per-variant arrays — residuals never cross the link). In exact mode
+        the counts equal the host pipeline's; boundary-flagged blocks are
+        re-measured on the host."""
         import jax
 
-        from .kernels.encode import analyze_variants
         B, C, _ = blocks.shape
-        stack = self._variant_stack(blocks, size, offset_lshift,
-                                    pad_bucket=512)
-        out = analyze_variants(stack, **self._device_args(size))
-        small = jax.device_get({k: out[k] for k in
-                                ("rice_bits", "orders", "coefs")})
+        if self._approx_device:
+            from .kernels.encode import analyze_variants
+            stack = self._variant_stack(blocks, size, offset_lshift,
+                                        pad_bucket=512)
+            out = analyze_variants(stack, **self._device_args(size))
+            small = jax.device_get({k: out[k] for k in
+                                    ("rice_bits", "orders", "coefs")})
+            small["section_bits"] = small.pop("rice_bits")
+            Bp = B
+            risky_bi = np.zeros(B, bool)
+        else:
+            from .kernels.exact import analyze_blocks_exact
+            Bp = ((B + 127) // 128) * 128
+            padded = np.zeros((Bp, C, size), np.int32)
+            padded[:B] = blocks
+            small, _big = analyze_blocks_exact(
+                padded, np.int32(offset_lshift), C=C,
+                **self._device_args(size))
+            small = jax.device_get({k: small[k] for k in
+                                    ("section_bits", "orders", "coefs",
+                                     "risky")})
+            nvar = C + 2 if C >= 2 else 1
+            risky_bi = np.asarray(
+                small["risky"]).reshape(nvar, Bp)[:, :B].any(axis=0)
         maxp = max(self.preset.max_num_parameters, 1)
         code_len, _ = self._account_bits(
-            small["rice_bits"].astype(np.int64), small["orders"],
-            small["coefs"][:, :maxp], np.zeros(stack.shape[0], np.int32), 0)
+            small["section_bits"].astype(np.int64), small["orders"],
+            small["coefs"][:, :maxp],
+            np.zeros(len(small["orders"]), np.int32), 0)
 
         def cl(vix):
-            return code_len[vix * B:(vix + 1) * B]
+            return code_len[vix * Bp:vix * Bp + B]
         if C == 1:
             bits = cl(0).copy()
         else:
             lens = np.stack([cl(2) + cl(3), cl(0) + cl(1),
                              cl(2) + cl(1), cl(3) + cl(1)])
             bits = lens.min(axis=0)
-        return ((bits + 2 + 7) // 8) * 8
+        bits = ((bits + 2 + 7) // 8) * 8
+        if risky_bi.any():
+            self.stats["repaired_blocks"] += int(risky_bi.sum())
+            _m, _p, host_bits = self._compute_coefficients(
+                blocks[risky_bi], size, offset_lshift)
+            bits[risky_bi] = host_bits
+        return bits
 
 
 def _dijkstra(adj: np.ndarray, num_nodes: int, start: int, goal: int,

@@ -34,6 +34,58 @@ def _f32(x):
     return jnp.asarray(x, jnp.float32)
 
 
+# -- FP-contraction defense --------------------------------------------------
+#
+# XLA:TPU compiles HLO f32 ops strictly, but XLA:CPU's emitter contracts
+# mul+add into FMA inside fusions (observed on jaxlib 0.9, and neither
+# optimization_barrier nor reduce_precision survives to block it). An FMA
+# skips the product's rounding, which breaks every error-free transformation
+# below that consumes a product in an add (s = p + e must see the ROUNDED p).
+#
+# Defense: "pin" every inexact product as `p = a*b + z` where z is a
+# RUNTIME zero (derived from traced data, so no compiler can fold the add
+# away). Even if the backend contracts this into fma(a, b, z), the result is
+# round(a*b + 0) == round(a*b) — the pinned value is context-independent, so
+# EFT invariants and cross-fusion value consistency both hold on every
+# backend. Kernel entry points install the token via `pinned(...)`.
+
+_PIN_ZERO = None
+
+
+class pinned:
+    """Context manager installing a traced-zero pin token during tracing."""
+
+    def __init__(self, traced_value):
+        self._tok = jnp.asarray(traced_value, jnp.float32) * jnp.float32(0.0)
+
+    def __enter__(self):
+        global _PIN_ZERO
+        self._prev = _PIN_ZERO
+        _PIN_ZERO = self._tok
+        return self
+
+    def __exit__(self, *exc):
+        global _PIN_ZERO
+        _PIN_ZERO = self._prev
+        return False
+
+
+def _pin(x):
+    return x if _PIN_ZERO is None else x + _PIN_ZERO
+
+
+# A second XLA:CPU hazard (same root cause — real-arithmetic rewrites that
+# are invalid in FP): constant reassociation. With a compile-time constant c
+# as a TwoSum operand, `bb = (b + c) - c` is rewritten to `b`, destroying the
+# error term. Constants entering dd chains therefore go through _pin too
+# (runtime-valued, unfoldable); see const()/one_like().
+
+
+def one_like(x):
+    """Pinned runtime-valued (1.0, 0.0) pair broadcast like x."""
+    return (_pin(jnp.ones_like(x)), _pin(jnp.zeros_like(x)))
+
+
 # ---------------------------------------------------------------------------
 # Error-free transformations
 # ---------------------------------------------------------------------------
@@ -63,8 +115,12 @@ def _split(a):
 
 
 def two_prod(a, b):
-    """p + err == a * b exactly (barring overflow/underflow-to-denormal)."""
-    p = a * b
+    """p + err == a * b exactly (barring overflow/underflow-to-denormal).
+
+    `p` is pinned (see the FP-contraction defense above). The split-half
+    products in `err` are exact (<=12-bit significands), so FMA contraction
+    cannot change them."""
+    p = _pin(a * b)
     ah, al = _split(a)
     bh, bl = _split(b)
     err = ((ah * bh - p) + ah * bl + al * bh) + al * bl
@@ -100,8 +156,11 @@ def neg(x):
 
 def mul(x, y):
     p, e = two_prod(x[0], y[0])
-    e = e + (x[0] * y[1] + x[1] * y[0])
-    return quick_two_sum(p, e)
+    # Each inexact correction product is pinned; all other mul->add sites in
+    # this module involve exact products (split halves, powers of two,
+    # integer-valued), where FMA contraction cannot change the result.
+    corr = _pin(x[0] * y[1]) + _pin(x[1] * y[0])
+    return quick_two_sum(p, e + corr)
 
 
 def mul_pow2(x, p):
@@ -181,7 +240,7 @@ def floor(x):
 def round_half_away(x):
     """C round() semantics: round half away from zero, as a df value."""
     ax = abs_(x)
-    r = floor(add(ax, df(np.float32(0.5))))
+    r = floor(add(ax, (_pin(jnp.float32(0.5)), _pin(jnp.float32(0.0)))))
     s = jnp.where(x[0] < 0, -1.0, 1.0).astype(jnp.float32)
     return (r[0] * s, r[1] * s)
 
@@ -204,24 +263,22 @@ def to_f64(x):
 
 
 def const(v):
-    """df constant from a Python float (host-side split, device constant)."""
+    """df constant from a Python float. Pinned to a runtime value when a pin
+    token is installed, so no compile-time constant ever enters an EFT."""
     hi, lo = split_f64(np.float64(v))
-    return (jnp.float32(hi), jnp.float32(lo))
+    return (_pin(jnp.float32(hi)), _pin(jnp.float32(lo)))
 
 
 # ---------------------------------------------------------------------------
-# Natural log: table-based argument reduction + series.
-#   x = m * 2^e, m in [0.5, 1);  j = top-7 mantissa bits of m;
-#   m_j = (128 + j) / 256;  r = m/m_j - 1 in [0, 2^-7);
-#   ln x = e*ln2 + ln(m_j) + ln(1+r),  ln(1+r) by 6-term alternating series.
-# Accuracy ~2^-45 relative (validated in tests/test_df64.py).
+# Natural log: gather-free atanh-series formulation (TPU gathers from even a
+# 128-entry table dominate the cost of a table-based log; this is pure VPU).
+#   x = m * 2^e with m in [sqrt(1/2), sqrt(2));  t = (m-1)/(m+1), |t|<=0.1716;
+#   ln x = e*ln2 + 2t*(1 + t^2/3 + t^4/5 + ... + t^18/19).
+# Accuracy ~1e-13 relative (validated in tests/test_df64.py).
 # ---------------------------------------------------------------------------
 
-_LN_TABLE_N = 128
-_mj = (np.arange(_LN_TABLE_N, dtype=np.float64) + _LN_TABLE_N) / (2 * _LN_TABLE_N)
-_LN_MJ_HI, _LN_MJ_LO = split_f64(np.log(_mj))
-_RECIP_MJ_HI, _RECIP_MJ_LO = split_f64(1.0 / _mj)
 _LN2 = split_f64(np.float64(math.log(2.0)))
+_SQRT_HALF = np.float32(0.7071067811865476)
 
 
 def log(x):
@@ -230,20 +287,22 @@ def log(x):
     m_hi, e = jnp.frexp(jnp.maximum(x[0], np.float32(1e-38)))
     scale = jnp.exp2(-e.astype(jnp.float32))
     m = (m_hi, x[1] * scale)  # exact scaling by 2^-e
-    # Table index from the mantissa: m in [0.5, 1) -> j in [0, 128).
-    j = jnp.clip(((m_hi * (2 * _LN_TABLE_N)).astype(jnp.int32) - _LN_TABLE_N),
-                 0, _LN_TABLE_N - 1)
-    recip = (jnp.asarray(_RECIP_MJ_HI)[j], jnp.asarray(_RECIP_MJ_LO)[j])
-    ln_mj = (jnp.asarray(_LN_MJ_HI)[j], jnp.asarray(_LN_MJ_LO)[j])
-    r = sub(mul(m, recip), df(np.float32(1.0)))
-    # ln(1+r) = r - r^2/2 + r^3/3 - r^4/4 + r^5/5 - r^6/6  (|r| < 2^-7).
-    acc = const(-1.0 / 6.0)
-    for c in (1.0 / 5.0, -1.0 / 4.0, 1.0 / 3.0, -1.0 / 2.0, 1.0):
-        acc = add(mul(acc, r), const(c))
-    ln1pr = mul(acc, r)
+    # Fold m into [sqrt(1/2), sqrt(2)) so |t| <= 0.1716 (doubling is exact).
+    low = m[0] < _SQRT_HALF
+    m = (jnp.where(low, m[0] * 2.0, m[0]), jnp.where(low, m[1] * 2.0, m[1]))
+    e = e - low.astype(e.dtype)
+    one = (_pin(jnp.float32(1.0)), _pin(jnp.float32(0.0)))
+    t = div(sub(m, one), add(m, one))
+    u = mul(t, t)
+    acc = const(1.0 / 19.0)
+    for c in (1.0 / 17.0, 1.0 / 15.0, 1.0 / 13.0, 1.0 / 11.0, 1.0 / 9.0,
+              1.0 / 7.0, 1.0 / 5.0, 1.0 / 3.0, 1.0):
+        acc = add(mul(acc, u), const(c))
+    ln_m = mul(mul_pow2(t, 2.0), acc)
     e_dd = (e.astype(jnp.float32), jnp.zeros_like(m_hi))
-    return add(add(mul(e_dd, (jnp.full_like(m_hi, _LN2[0]),
-                              jnp.full_like(m_hi, _LN2[1]))), ln_mj), ln1pr)
+    ln2 = (_pin(jnp.full_like(m_hi, _LN2[0])), _pin(jnp.full_like(m_hi,
+                                                                  _LN2[1])))
+    return add(mul(e_dd, ln2), ln_m)
 
 
 # ---------------------------------------------------------------------------
