@@ -1115,13 +1115,27 @@ class SRLAEncoder:
             total = int(lens_w.sum())
             cap = ((total + 65535) // 65536) * 65536
             import os
-            flat = pack_chosen(big["u"], big["code_type"], big["porder"],
-                               big["ks"], rows, starts, lens_w,
-                               n=size, W=W, cap=cap,
-                               impl=os.environ.get("SRLA_PACK_IMPL",
-                                                   "scatter"))
-            flat = np.asarray(jax.device_get(flat)).astype(">u4")
-            flat_bytes = flat.tobytes()
+            flat, pack_ovf = pack_chosen(
+                big["u"], big["code_type"], big["porder"], big["ks"], rows,
+                starts, lens_w, n=size, W=W, cap=cap,
+                impl=os.environ.get("SRLA_PACK_IMPL", "block"))
+            flat, pack_ovf = jax.device_get((flat, pack_ovf))
+            flat_bytes = np.asarray(flat).astype(">u4").tobytes()
+            # Rows the packer could not represent (pathological codeword
+            # runs beyond the block packer's frame): host-encode their
+            # blocks; the assembly loops below skip them (index arithmetic
+            # over flat_bytes/starts stays keyed to the full chosen list).
+            pack_bad = set()
+            if pack_ovf[:K].any():
+                bad_rows = np.flatnonzero(pack_ovf[:K])
+                pack_bad = {compress_idx[r // C] for r in bad_rows}
+                self.stats["w_overflow_blocks"] += len(pack_bad)
+                self.stats["device_blocks"] -= len(pack_bad)
+                results.update(self._encode_host_batch(
+                    pcm, spans, [idxs[bi] for bi in sorted(pack_bad)], size,
+                    offset_lshift))
+        else:
+            pack_bad = set()
 
         if compress_idx:
             from . import native_decoder as nd
@@ -1143,6 +1157,9 @@ class SRLAEncoder:
             for k, bi in enumerate(compress_idx):
                 i = idxs[bi]
                 sz = int(sizes[k])
+                if bi in pack_bad:
+                    cursor += sz
+                    continue
                 if sz == 0:
                     blk = pcm[:, spans[i][0]:spans[i][0] + size]
                     results[i] = frame_block(
@@ -1153,6 +1170,8 @@ class SRLAEncoder:
                     cursor += sz
         elif compress_idx:
             for k, bi in enumerate(compress_idx):
+                if bi in pack_bad:
+                    continue
                 i = idxs[bi]
                 pb = PayloadBuilder(int(bits[bi]) // 8 + 8)
                 head = self._params_header_bits(small, method, B, bi, row_of,

@@ -399,7 +399,7 @@ def analyze_pack_variants(sig: jnp.ndarray, *, n: int, bps: int,
                         max_fixed=max_fixed, fft_size=fft_size,
                         max_porder=max_porder)
     u = _zigzag(out["residual"])
-    words, sec_bits = pack_residual_sections(
+    words, sec_bits, _ovf = pack_residual_sections(
         u, out["code_type"], out["porder"], out["ks"], n, W)
     small = {k: out[k] for k in ("pre_prev", "pre_coef", "orders", "rshifts",
                                  "coefs", "code_type", "porder", "rice_bits")}
@@ -450,18 +450,22 @@ def analyze_blocks_ex(blocks: jnp.ndarray, lshift, *, n: int, bps: int,
 def pack_chosen(u, code_type, porder, ks, chosen, starts, lens, *, n: int,
                 W: int, cap: int, impl: str = "scatter"):
     """Pack ONLY the chosen variant rows and compact them into a flat word
-    buffer in one device program (single fetch of ~compressed size)."""
+    buffer in one device program (single fetch of ~compressed size).
+
+    Returns (flat words (cap,), overflow (K,) bool) — overflow rows could
+    not be packed (block impl frame limit) and must be host-encoded."""
     from .bitpack import pack_residual_sections
     uc = u[chosen]
-    words, _ = pack_residual_sections(uc, code_type[chosen], porder[chosen],
-                                      ks[chosen], n, W, impl)
+    words, _, ovf = pack_residual_sections(uc, code_type[chosen],
+                                           porder[chosen], ks[chosen], n, W,
+                                           impl)
     j = jnp.arange(cap, dtype=jnp.int32)
     seg = jnp.clip(jnp.searchsorted(starts, j, side="right") - 1,
                    0, chosen.shape[0] - 1)
     col = j - starts[seg]
     ok = (col >= 0) & (col < lens[seg])
     col = jnp.clip(col, 0, W - 1)
-    return jnp.where(ok, words[seg, col], 0)
+    return jnp.where(ok, words[seg, col], 0), ovf
 
 
 @partial(jax.jit, static_argnames=("cap",))

@@ -19,7 +19,8 @@ def _cases(n):
     ]).astype(np.int32)
 
 
-def test_device_pack_matches_host_emitter():
+@pytest.mark.parametrize("impl", ["scatter", "prefix", "block"])
+def test_device_pack_matches_host_emitter(impl):
     import jax.numpy as jnp
 
     from srla_tpu.kernels.bitpack import pack_residual_sections
@@ -28,17 +29,45 @@ def test_device_pack_matches_host_emitter():
     ct, po, bits, ks = rice.analyze_batch(res, n)
     uvals = sint32_to_uint32(res.astype(np.int32)).astype(np.int64)
     W = 4096 * 30 // 32
-    words, total = pack_residual_sections(
+    words, total, ovf = pack_residual_sections(
         jnp.asarray(uvals.astype(np.uint32)), jnp.asarray(ct),
-        jnp.asarray(po), jnp.asarray(ks.astype(np.int32)), n, W)
+        jnp.asarray(po), jnp.asarray(ks.astype(np.int32)), n, W, impl)
     words = np.asarray(words)
     total = np.asarray(total)
+    ovf = np.asarray(ovf)
     for v in range(res.shape[0]):
+        if ovf[v]:
+            continue  # block impl may punt pathological rows — never wrong
         w = BitWriter()
         rice.emit_channel(w, uvals[v], n, int(ct[v]), int(po[v]), ks[v])
         ref = w.getvalue()
         assert int(total[v]) == w.tell_bits()
         assert words[v].astype(">u4").tobytes()[:len(ref)] == ref
+    assert ovf.sum() <= 1  # only the adversarial wide-range case may punt
+
+
+def test_block_pack_overflow_flagging():
+    """A pathological codeword run must flag, never corrupt."""
+    import jax.numpy as jnp
+
+    from srla_tpu.kernels.bitpack import pack_residual_sections
+    n = 256
+    res = np.zeros((2, n), np.int32)
+    res[0] = 3          # benign row
+    res[1, ::16] = 1 << 22  # huge outliers -> enormous unary runs at small k
+    ct, po, bits, ks = rice.analyze_batch(res, n)
+    uvals = sint32_to_uint32(res).astype(np.uint32)
+    W = int(bits.max() // 32 + 64)
+    words, total, ovf = pack_residual_sections(
+        jnp.asarray(uvals), jnp.asarray(ct), jnp.asarray(po),
+        jnp.asarray(ks.astype(np.int32)), n, W, "block")
+    ovf = np.asarray(ovf)
+    assert not ovf[0]
+    w = BitWriter()
+    rice.emit_channel(w, uvals[0].astype(np.int64), n, int(ct[0]),
+                      int(po[0]), ks[0])
+    ref = w.getvalue()
+    assert np.asarray(words)[0].astype(">u4").tobytes()[:len(ref)] == ref
 
 
 def test_pallas_pack_interpret_matches_reference():
