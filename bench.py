@@ -83,6 +83,20 @@ def main():
     decode_xrt = seconds / (t3 - t2)
     lossless = np.array_equal(out, pcm)
 
+    # Device decode (fused entropy+synthesis scan) row.
+    tpu_decode_xrt = 0.0
+    tpu_lossless = False
+    if backend == "tpu":
+        from srla_tpu.decoder import SRLADecoder
+        try:
+            SRLADecoder(backend="tpu").decode_whole(stream)  # compile
+            t4 = time.time()
+            _, out_tpu = SRLADecoder(backend="tpu").decode_whole(stream)
+            tpu_decode_xrt = seconds / (time.time() - t4)
+            tpu_lossless = bool(np.array_equal(out_tpu, pcm))
+        except Exception as e:
+            print(f"bench: tpu decode failed ({e})", file=sys.stderr)
+
     ratio = 100.0 * len(stream) / raw_bytes
     print(f"bench[{backend}]: encode {min(times):.2f}s ({encode_xrt:.1f}x RT), "
           f"decode {t3 - t2:.2f}s ({decode_xrt:.1f}x RT), "
@@ -101,6 +115,8 @@ def main():
         "unit": "x_realtime",
         "vs_baseline": round(encode_xrt / BASELINE_ENCODE_XRT, 4),
         "decode_xrt": round(decode_xrt, 2),
+        "tpu_decode_xrt": round(tpu_decode_xrt, 2),
+        "tpu_decode_lossless": tpu_lossless,
         "exact_host_xrt": round(exact_xrt, 2),
         "compression_pct": round(ratio, 2),
         "byte_exact_vs_host": bool(byte_exact),

@@ -35,36 +35,108 @@ REF_BIN = os.path.join(os.path.dirname(os.path.dirname(
     os.path.abspath(__file__))), ".refbuild", "tool", "srla")
 
 
-def synthetic_corpus(tmpdir: str) -> list:
-    """Deterministic mini-corpus in the spirit of the RWC categories."""
+def synthetic_corpus(tmpdir: str, seconds: float = 20.0) -> list:
+    """Deterministic synthetic corpus mirroring the reference evaluation's
+    five RWC categories (classic/jazz/popular/vocal/rhythm — see
+    /root/reference/evaluation/evaluate_codecs.py), two takes each.
+
+    Signals are built from the ingredients that drive lossless-codec
+    behavior: harmonic stacks with vibrato (LPC-friendly), note transients
+    (block-boundary stress), sung-vowel formants with pitch drift (LTP),
+    percussive noise bursts (raw/Rice-k stress), silence and quiet passages
+    (silent/allzero blocks), and inter-channel correlation (MS/LS/SR)."""
     rate = 44100
-    rng = np.random.RandomState(42)
+    n = int(seconds * rate)
+    t = np.arange(n) / rate
     files = []
 
-    def tone_mix(n, freqs, noise):
-        t = np.arange(n) / rate
-        sig = sum(np.sin(2 * np.pi * f * t + i) * a
-                  for i, (f, a) in enumerate(freqs))
-        sig = sig + rng.randn(n) * noise
-        l = np.round(np.clip(sig, -1, 1) * 22000).astype(np.int32)
-        r = np.round(np.clip(np.roll(sig, 7) * 0.9, -1, 1) * 22000)
-        return np.stack([l, r.astype(np.int32)])
+    def stereo(mid, side_gain, rng, amp=22000):
+        delay = rng.randint(5, 40)
+        side = np.roll(mid, delay) * side_gain
+        l = np.clip(mid + side, -1, 1)
+        r = np.clip(mid - side, -1, 1)
+        return np.stack([np.round(l * amp), np.round(r * amp)]).astype(
+            np.int32)
 
-    specs = {
-        "classic": tone_mix(rate * 20, [(261.6, .3), (329.6, .2), (392, .15)],
-                            0.01),
-        "jazz": tone_mix(rate * 20, [(220, .25), (277.2, .2), (440, .1)],
-                         0.04),
-        "popular": tone_mix(rate * 20, [(196, .35), (392, .2), (784, .1)],
-                            0.08),
-        "noise": np.stack([
-            (rng.randn(rate * 20) * 8000).astype(np.int32),
-            (rng.randn(rate * 20) * 8000).astype(np.int32)]),
-    }
-    for name, pcm in specs.items():
-        path = os.path.join(tmpdir, f"{name}.wav")
-        write_wav(path, WavData(pcm.astype(np.int32), rate, 16))
-        files.append(path)
+    def notes_env(seg, rng, attack=0.01, decay=3.0):
+        """Per-note exponential envelopes at `seg`-second note boundaries."""
+        env = np.zeros(n)
+        for s0 in np.arange(0, seconds, seg):
+            i0 = int(s0 * rate)
+            i1 = min(n, int((s0 + seg) * rate))
+            tt = np.arange(i1 - i0) / rate
+            env[i0:i1] = np.minimum(tt / attack, 1.0) * np.exp(-tt * decay)
+        return env
+
+    def harmonics(f0, amps, vib_hz=5.0, vib_cents=8.0):
+        vib = 2 ** (vib_cents / 1200 * np.sin(2 * np.pi * vib_hz * t))
+        ph = 2 * np.pi * np.cumsum(f0 * vib) / rate
+        return sum(a * np.sin((i + 1) * ph) for i, a in enumerate(amps))
+
+    def classic(seed):
+        rng = np.random.RandomState(seed)
+        scale = [261.6, 293.7, 329.6, 392.0, 440.0]
+        f0 = np.repeat(rng.choice(scale, int(seconds / 2) + 1),
+                       2 * rate)[:n]
+        sig = harmonics(f0, [.4, .2, .1, .05]) * notes_env(2.0, rng, .05, .8)
+        sig[-rate:] *= np.linspace(1, 0, rate)  # decays to near-silence
+        return stereo(sig * 0.8, 0.1, rng)
+
+    def jazz(seed):
+        rng = np.random.RandomState(seed)
+        walk = [110, 146.8, 164.8, 220]
+        f0 = np.repeat(rng.choice(walk, int(seconds * 2) + 1),
+                       rate // 2)[:n]
+        bass = harmonics(f0, [.5, .15]) * notes_env(0.5, rng, .005, 4.0)
+        brush = rng.randn(n) * 0.02 * (1 + np.sin(2 * np.pi * 2 * t))
+        return stereo((bass + brush) * 0.7, 0.2, rng)
+
+    def popular(seed):
+        rng = np.random.RandomState(seed)
+        kick = np.zeros(n)
+        for b in np.arange(0, seconds, 0.5):
+            i0 = int(b * rate)
+            ln = min(n - i0, 4000)
+            kick[i0:i0 + ln] += np.sin(
+                2 * np.pi * 55 * np.exp(-np.arange(ln) / 2000)
+                * np.arange(ln) / rate) * np.exp(-np.arange(ln) / 1500)
+        synth = harmonics(np.full(n, 196.0), [.25, .2, .15, .1, .05])
+        sig = kick * 0.6 + synth * 0.3 * notes_env(1.0, rng, .01, 1.0)
+        return stereo(sig, 0.3, rng)
+
+    def vocal(seed):
+        rng = np.random.RandomState(seed)
+        f0 = 220 * 2 ** (np.cumsum(rng.randn(n) * 1e-5)
+                         + 0.3 * np.sin(2 * np.pi * 0.4 * t))
+        ph = 2 * np.pi * np.cumsum(f0) / rate
+        glottal = sum(np.sin(k * ph) / k for k in range(1, 12))
+        formant = np.sin(2 * np.pi * 800 * t) * 0.2 + 1.0
+        breath = rng.randn(n) * 0.01
+        sig = (glottal * 0.25 * formant + breath) * notes_env(4.0, rng,
+                                                              0.3, 0.3)
+        return stereo(sig, 0.05, rng)
+
+    def rhythm(seed):
+        rng = np.random.RandomState(seed)
+        sig = np.zeros(n)
+        for b in np.arange(0, seconds, 0.25):
+            i0 = int(b * rate)
+            ln = min(n - i0, 2500)
+            tone = 1 if int(b * 4) % 4 else 0
+            burst = rng.randn(ln) * (0.5 if tone else 0.9)
+            burst *= np.exp(-np.arange(ln) / (300 if tone else 900))
+            sig[i0:i0 + ln] += burst
+        sig[n // 2:n // 2 + rate // 2] = 0  # hard silence gap
+        return stereo(sig * 0.6, 0.4, rng)
+
+    for name, fn in [("classic", classic), ("jazz", jazz),
+                     ("popular", popular), ("vocal", vocal),
+                     ("rhythm", rhythm)]:
+        for take in (1, 2):
+            pcm = fn(seed=100 * take + sum(name.encode()) % 97)
+            path = os.path.join(tmpdir, f"{name}_{take}.wav")
+            write_wav(path, WavData(pcm, rate, 16))
+            files.append(path)
     return files
 
 
@@ -100,12 +172,12 @@ def measure_srla_tpu(path: str, cfg: dict, backend: str):
         "encode_pct_rt": 100.0 * (t1 - t0) / duration,
         "decode_pct_rt": 100.0 * (t2 - t1) / duration,
         "compression_pct": 100.0 * len(stream) / raw_size,
-    }
+    }, stream
 
 
 def measure_reference(path: str, cfg: dict):
     if not os.path.exists(REF_BIN):
-        return None
+        return None, None
     wav = read_wav(path)
     duration = wav.pcm.shape[1] / wav.sampling_rate
     raw_size = os.path.getsize(path)
@@ -123,11 +195,52 @@ def measure_reference(path: str, cfg: dict):
                        capture_output=True)
         t2 = time.time()
         comp = os.path.getsize(srl)
+        with open(srl, "rb") as f:
+            stream = f.read()
+    return {
+        "encode_pct_rt": 100.0 * (t1 - t0) / duration,
+        "decode_pct_rt": 100.0 * (t2 - t1) / duration,
+        "compression_pct": 100.0 * comp / raw_size,
+    }, stream
+
+
+def measure_flac(path: str, cfg: dict):
+    """FLAC as the external competitor baseline (reference evaluation runs
+    flac/wavpack/tta/tak/mpeg4als; flac is the one in this image)."""
+    import shutil
+    if shutil.which("flac") is None:
+        return None
+    wav = read_wav(path)
+    duration = wav.pcm.shape[1] / wav.sampling_rate
+    raw_size = os.path.getsize(path)
+    level = {0: "-0", 2: "-3", 4: "-5", 6: "-8"}.get(cfg["preset"], "-5")
+    with tempfile.TemporaryDirectory() as d:
+        out = os.path.join(d, "out.flac")
+        dec = os.path.join(d, "dec.wav")
+        t0 = time.time()
+        subprocess.run(["flac", level, "-f", "-s", "-o", out, path],
+                       check=True, capture_output=True)
+        t1 = time.time()
+        subprocess.run(["flac", "-d", "-f", "-s", "-o", dec, out],
+                       check=True, capture_output=True)
+        t2 = time.time()
+        comp = os.path.getsize(out)
     return {
         "encode_pct_rt": 100.0 * (t1 - t0) / duration,
         "decode_pct_rt": 100.0 * (t2 - t1) / duration,
         "compression_pct": 100.0 * comp / raw_size,
     }
+
+
+# The reference evaluation's full matrix: every -m preset crossed with the
+# fixed/variable/LTP block strategies and three block sizes
+# (/root/reference/evaluation/evaluate_codecs.py:204-276 runs the same axes).
+GRID_CONFIGS = [
+    f"-m {m} {strat} -B {b}"
+    for m in (0, 2, 4, 6)
+    for strat in ("-V 0", "-V 2", "-P 3")
+    for b in (2048, 4096, 8192)
+]
 
 
 def main():
@@ -138,8 +251,16 @@ def main():
     ap.add_argument("--configs", nargs="*",
                     default=["-m 0 -V 0 -B 4096", "-m 2 -V 0 -B 4096",
                              "-m 4 -V 0 -B 4096"])
+    ap.add_argument("--grid", action="store_true",
+                    help="Run the full {m}x{V/P}x{B} matrix (36 configs)")
     ap.add_argument("--backends", nargs="*", default=["exact"])
+    ap.add_argument("--seconds", type=float, default=20.0,
+                    help="Synthetic corpus file length")
+    ap.add_argument("--per-file", default=None,
+                    help="Also write per-file rows to this CSV")
     args = ap.parse_args()
+    if args.grid:
+        args.configs = GRID_CONFIGS
 
     tmp = None
     if args.corpus:
@@ -148,24 +269,43 @@ def main():
             if f.lower().endswith(".wav"))
     else:
         tmp = tempfile.TemporaryDirectory()
-        files = synthetic_corpus(tmp.name)
+        files = synthetic_corpus(tmp.name, args.seconds)
 
     rows = []
+    file_rows = []
+    mismatches = 0
     for cfg_str in args.configs:
         cfg = parse_config(cfg_str)
-        for codec in [f"srla_tpu[{b}]" for b in args.backends] + ["reference"]:
+        # Reference first so its streams are available for the byte compare.
+        codecs = ["reference"] + [f"srla_tpu[{b}]" for b in args.backends]
+        codecs += ["flac"]
+        ref_streams = {}
+        for codec in codecs:
             agg = {"encode_pct_rt": [], "decode_pct_rt": [],
                    "compression_pct": []}
             for path in files:
                 if codec.startswith("srla_tpu"):
                     backend = codec.split("[")[1][:-1]
-                    m = measure_srla_tpu(path, cfg, backend)
+                    m, stream = measure_srla_tpu(path, cfg, backend)
+                    # Bit-exactness vs the reference binary is the spec:
+                    # matching flags must give byte-identical streams.
+                    ref = ref_streams.get(path)
+                    if ref is not None and stream != ref:
+                        mismatches += 1
+                        print(f"BYTE MISMATCH: {codec} {cfg_str} {path}")
+                elif codec == "reference":
+                    m, stream = measure_reference(path, cfg)
+                    if m is not None:
+                        ref_streams[path] = stream
                 else:
-                    m = measure_reference(path, cfg)
+                    m = measure_flac(path, cfg)
                 if m is None:
                     break
                 for k, v in m.items():
                     agg[k].append(v)
+                file_rows.append({"codec": codec, "config": cfg_str,
+                                  "file": os.path.basename(path),
+                                  **{k: round(v, 3) for k, v in m.items()}})
             if not agg["encode_pct_rt"]:
                 continue
             row = {"codec": codec, "config": cfg_str,
@@ -179,6 +319,16 @@ def main():
         w.writeheader()
         w.writerows(rows)
     print(f"wrote {args.out}")
+    if args.per_file:
+        with open(args.per_file, "w", newline="") as f:
+            w = csv.DictWriter(f, fieldnames=list(file_rows[0].keys()))
+            w.writeheader()
+            w.writerows(file_rows)
+        print(f"wrote {args.per_file}")
+    if mismatches:
+        print(f"{mismatches} byte mismatches vs reference")
+        return 1
+    return 0
 
 
 if __name__ == "__main__":

@@ -53,6 +53,9 @@ class SRLADecoder:
         recurrence becomes one lax.scan step per sample over all blocks)."""
         self.check_checksum = check_checksum
         self.backend = backend
+        # Capability accounting (no silent fallbacks): how many COMPRESS
+        # blocks each path actually decoded in the last decode_whole call.
+        self.stats = {"device_blocks": 0, "host_blocks": 0}
         self._param_cb = parameter_codebook()
         self._sum_cb = sum_parameter_codebook()
         self._native = None
@@ -64,6 +67,18 @@ class SRLADecoder:
     def decode_block_params(self, payload: bytes, header: StreamHeader,
                             num_samples: int) -> _BlockParams:
         """Entropy-decode one compress-block payload into parameters+residuals."""
+        C = header.num_channels
+        bp, r = self._parse_params(payload, header)
+        residual = np.zeros((C, num_samples), dtype=np.int32)
+        for c in range(C):
+            residual[c] = rice.decode(r, num_samples)
+        bp.residual = residual
+        return bp
+
+    def _parse_params(self, payload: bytes, header: StreamHeader
+                      ) -> tuple[_BlockParams, BitReader]:
+        """Parse the parameter header of a compress payload; the returned
+        reader is positioned at the first channel's residual section."""
         C = header.num_channels
         r = BitReader(payload)
         method = r.get(2)
@@ -102,11 +117,9 @@ class SRLADecoder:
                 for i in range(ltp_orders[c]):
                     ltp_coefs[c, i] = uint32_to_sint32(
                         np.uint32(r.get(LTP_COEFFICIENT_BITWIDTH)))
-        residual = np.zeros((C, num_samples), dtype=np.int32)
-        for c in range(C):
-            residual[c] = rice.decode(r, num_samples)
-        return _BlockParams(method, pre_prev, pre_coef, orders, rshifts, coefs,
-                            ltp_orders, ltp_periods, ltp_coefs, residual)
+        return _BlockParams(method, pre_prev, pre_coef, orders, rshifts,
+                            coefs, ltp_orders, ltp_periods, ltp_coefs,
+                            None), r
 
     def synthesize_block(self, bp: _BlockParams, header: StreamHeader,
                          num_samples: int) -> np.ndarray:
@@ -199,18 +212,24 @@ class SRLADecoder:
         return header, pcm
 
 
+    # Device decode tuning. Groups smaller than _DEV_MIN_GROUP are decoded
+    # on host (compiling a device program for a couple of stragglers costs
+    # more than it saves); the fallback is counted in self.stats. Chunking
+    # bounds the NEXT_ONE table's footprint (B * W * 32 * 4 bytes per chunk).
+    _DEV_MIN_GROUP = 4
+    _DEV_CHUNK = 512
+
     def _decode_whole_device(self, data: bytes,
                              header: StreamHeader) -> np.ndarray:
-        """Scan-based decode: per-block entropy decode feeds batched device
-        synthesis (one scan over the sample axis for ALL blocks at once);
-        LTP blocks and the de-correlation/shift epilogue stay host-side."""
-        from .kernels.decode import synthesize_blocks
-
+        """Fused scan decode: Rice unpack + LPC + LTP + de-emphasis + stereo
+        inverse run in ONE device program per block group (kernels/decode.py
+        decode_blocks_device); the host parses block/parameter headers and
+        performs a single result fetch per group."""
         C, N = header.num_channels, header.num_samples
         pcm = np.zeros((C, N), dtype=np.int32)
         offset = HEADER_SIZE
         progress = 0
-        groups: dict[int, list] = {}   # n -> [(progress, bp)]
+        groups: dict[int, list] = {}   # n -> [(progress, bp, payload, start)]
         while progress < N and offset < len(data):
             btype, nsamples, poff, psize = parse_block_header(
                 data, offset, self.check_checksum)
@@ -219,40 +238,85 @@ class SRLADecoder:
                 pcm[:, progress:progress + nsamples] = self.decode_raw_block(
                     payload, header, nsamples)
             elif btype == BlockDataType.COMPRESS:
-                bp = self.decode_block_params(payload, header, nsamples)
-                if (bp.ltp_periods > 0).any():
-                    pcm[:, progress:progress + nsamples] = \
-                        self.synthesize_block(bp, header, nsamples)
-                else:
-                    groups.setdefault(nsamples, []).append((progress, bp))
+                bp, r = self._parse_params(payload, header)
+                groups.setdefault(nsamples, []).append(
+                    (progress, bp, payload, r.pos))
             offset = poff + psize
             progress += nsamples
         for n, entries in groups.items():
-            res = np.stack([bp.residual for _, bp in entries])  # (B, C, n)
-            B = res.shape[0]
-            flat = res.reshape(B * C, n)
-            coefs = np.stack([bp.coefs for _, bp in entries]).reshape(B * C,
-                                                                      -1)
-            orders = np.stack([bp.orders for _, bp in entries]).ravel()
-            rshifts = np.stack([bp.rshifts for _, bp in entries]).ravel()
-            pre_c = np.stack([bp.pre_coef for _, bp in entries]).ravel()
-            pre_p = np.stack([bp.pre_prev for _, bp in entries]).ravel()
-            out = synthesize_blocks(flat, coefs, orders, rshifts, pre_c,
-                                    pre_p, n).reshape(B, C, n)
-            with np.errstate(over="ignore"):
-                for (prog, bp), buf in zip(entries, out):
-                    buf = buf.astype(np.int32)
-                    if bp.method == ChProcessMethod.MS:
-                        buf[0] = (buf[0] - (buf[1] >> 1)).astype(np.int32)
-                        buf[1] = (buf[1] + buf[0]).astype(np.int32)
-                    elif bp.method == ChProcessMethod.LS:
-                        buf[1] = (buf[1] + buf[0]).astype(np.int32)
-                    elif bp.method == ChProcessMethod.SR:
-                        buf[0] = (buf[1] - buf[0]).astype(np.int32)
-                    if header.offset_lshift:
-                        buf = (buf << header.offset_lshift).astype(np.int32)
-                    pcm[:, prog:prog + n] = buf
+            if len(entries) < self._DEV_MIN_GROUP:
+                self.stats["host_blocks"] += len(entries)
+                for prog, bp, payload, start in entries:
+                    r = BitReader(payload)
+                    r.pos = start
+                    bp.residual = np.stack(
+                        [rice.decode(r, n) for _c in range(C)])
+                    pcm[:, prog:prog + n] = self.synthesize_block(
+                        bp, header, n)
+                continue
+            for lo in range(0, len(entries), self._DEV_CHUNK):
+                chunk = entries[lo:lo + self._DEV_CHUNK]
+                self._decode_group_device(chunk, header, n, pcm)
         return pcm
+
+    def _decode_group_device(self, entries, header: StreamHeader, n: int,
+                             pcm: np.ndarray) -> None:
+        import jax.numpy as jnp
+
+        from .kernels.decode import _MAX_LTP, decode_blocks_device
+
+        C = header.num_channels
+        B = len(entries)
+        # Static-shape bucketing: device programs compile once per
+        # (Bp, W, n, C, M) bucket and the persistent XLA cache makes later
+        # processes start hot.
+        Bp = 64
+        while Bp < B:
+            Bp *= 2
+        W = max((max(len(p) for _, _, p, _ in entries) + 3) // 4, 1)
+        W = ((W + 511) // 512) * 512
+        # M buckets to multiples of 8 over the group's actual max order.
+        M = max(int(max(int(bp.orders.max()) for _, bp, _, _ in entries)), 1)
+        M = ((M + 7) // 8) * 8
+
+        words = np.zeros((Bp, W), dtype=np.uint32)
+        wv = words.view(np.uint8).reshape(Bp, W * 4)
+        start_bits = np.zeros(Bp, np.int32)
+        methods = np.zeros(Bp, np.int32)
+        orders = np.zeros((Bp, C), np.int32)
+        rshifts = np.zeros((Bp, C), np.int32)
+        coefs = np.zeros((Bp, C, M), np.int32)
+        ltp_orders = np.zeros((Bp, C), np.int32)
+        ltp_periods = np.zeros((Bp, C), np.int32)
+        ltp_coefs = np.zeros((Bp, C, _MAX_LTP), np.int32)
+        pre_coef = np.zeros((Bp, C), np.int32)
+        pre_prev = np.zeros((Bp, C), np.int32)
+        for bi, (prog, bp, payload, start) in enumerate(entries):
+            wv[bi, :len(payload)] = np.frombuffer(payload, np.uint8)
+            start_bits[bi] = start
+            methods[bi] = bp.method
+            orders[bi] = bp.orders
+            rshifts[bi] = bp.rshifts
+            coefs[bi] = bp.coefs[:, :M]
+            ltp_orders[bi] = bp.ltp_orders
+            ltp_periods[bi] = bp.ltp_periods
+            ltp_coefs[bi] = bp.ltp_coefs[:, :_MAX_LTP]
+            pre_coef[bi] = bp.pre_coef
+            pre_prev[bi] = bp.pre_prev
+        words = words.byteswap()         # payload bytes are big-endian words
+        # Padding rows decode as ALLZERO sections ('10' at bit 0).
+        words[B:, 0] = 0x80000000
+        out = decode_blocks_device(
+            jnp.asarray(words), jnp.asarray(start_bits), jnp.asarray(orders),
+            jnp.asarray(rshifts), jnp.asarray(coefs),
+            jnp.asarray(ltp_orders), jnp.asarray(ltp_periods),
+            jnp.asarray(ltp_coefs), jnp.asarray(pre_coef),
+            jnp.asarray(pre_prev), jnp.asarray(methods),
+            np.int32(header.offset_lshift), n=n, C=C, M=M)
+        out = np.asarray(out)
+        self.stats["device_blocks"] += B
+        for bi, (prog, _, _, _) in enumerate(entries):
+            pcm[:, prog:prog + n] = out[bi]
 
 
 def decode(data: bytes, check_checksum: bool = True):

@@ -1570,7 +1570,8 @@ def _apply_lshift(blocks: np.ndarray, offset_lshift) -> np.ndarray:
 def _compute_offset_lshift(pcm: np.ndarray) -> int:
     mask = 0
     orred = np.bitwise_or.reduce(
-        np.bitwise_or.reduce(pcm.astype(np.int32).view(np.uint32), axis=1))
+        np.bitwise_or.reduce(
+            np.ascontiguousarray(pcm, np.int32).view(np.uint32), axis=1))
     mask = int(orred)
     if mask == 0:
         return 0

@@ -71,8 +71,8 @@ def test_jax_synthesis_matches_host():
                                 dict(preset=2, ltp_order=3),
                                 dict(preset=6, variable_divisions=2)])
 def test_device_scan_decode_matches_host(kw):
-    """backend='tpu' decode (batched lax.scan synthesis) must reproduce the
-    host decode exactly, including mixed LTP/stereo/raw/silent blocks."""
+    """backend='tpu' decode (fused entropy+synthesis scan) must reproduce
+    the host decode exactly, including mixed LTP/stereo/raw/silent blocks."""
     from srla_tpu.decoder import SRLADecoder
 
     rng = np.random.RandomState(5)
@@ -84,3 +84,32 @@ def test_device_scan_decode_matches_host(kw):
     hdr, dev = SRLADecoder(backend="tpu").decode_whole(data)
     assert np.array_equal(dev, host)
     assert np.array_equal(dev, sig)
+
+
+@pytest.mark.parametrize("name,mk,bps,kw", [
+    ("mono", lambda: signals.chirp(50000, 1, 16), 16, {}),
+    ("8ch", lambda: np.stack([signals.chirp(30000, 1, 16)[0] >> c
+                              for c in range(8)]), 16, {}),
+    ("24bit", lambda: (signals.chirp(50000, 2, 16) * 200).astype(np.int32),
+     24, dict(preset=2)),
+    ("ltp-pitchy", lambda: signals.pitchy(50000, 2, 16), 16,
+     dict(ltp_order=3)),
+    ("odd-tail", lambda: signals.chirp(44100 + 1234, 2, 16), 16,
+     dict(max_block=4096)),
+    ("B2048", lambda: signals.chirp(70000, 2, 16), 16,
+     dict(max_block=2048)),
+])
+def test_device_decode_full_coverage(name, mk, bps, kw):
+    """Every block type/config decodes ON DEVICE: the fused scan handles
+    LTP, all channel layouts, bit depths, lshift, and odd tails; only
+    straggler groups below _DEV_MIN_GROUP fall back (accounted in stats)."""
+    from srla_tpu.decoder import SRLADecoder
+
+    pcm = mk()
+    stream = encode(pcm, bps, 44100, backend="exact", **kw)
+    dec = SRLADecoder(backend="tpu")
+    _, dev = dec.decode_whole(stream)
+    assert np.array_equal(dev, pcm)
+    # The device must carry the bulk of the work (no silent whole-stream
+    # fallback); tiny straggler groups may stay on host.
+    assert dec.stats["device_blocks"] > dec.stats["host_blocks"]
