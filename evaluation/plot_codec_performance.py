@@ -1,0 +1,125 @@
+#!/usr/bin/env python3
+"""Plot the evaluation grid: compression vs speed, one figure per block
+strategy x block size, mirroring the reference's
+evaluation/plot_codec_performance_graph.py (speed as % of realtime on the x
+axis of a compression/speed tradeoff scatter).
+
+Usage:
+  python3 evaluation/plot_codec_performance.py \
+      [--csv evaluation/results_grid.csv] [--outdir evaluation/plots]
+
+Design notes: categorical colors use the first slots of a validated
+colorblind-safe palette in fixed codec order (never cycled); single axis per
+figure; per-point direct labels carry the -m preset so identity is not
+color-alone.
+"""
+
+from __future__ import annotations
+
+import argparse
+import csv
+import os
+import re
+from collections import defaultdict
+
+import matplotlib
+matplotlib.use("Agg")
+import matplotlib.pyplot as plt
+
+# Fixed codec -> color order (validated categorical palette, light mode).
+PALETTE = {
+    "reference": "#2a78d6",       # blue
+    "srla_tpu[exact]": "#eb6834",  # orange
+    "srla_tpu[tpu]": "#1baf7a",    # aqua
+    "flac": "#eda100",             # yellow
+}
+MARKERS = {"reference": "o", "srla_tpu[exact]": "s", "srla_tpu[tpu]": "D",
+           "flac": "^"}
+TEXT = "#0b0b0b"
+TEXT2 = "#52514e"
+GRID = "#e3e2de"
+SURFACE = "#fcfcfb"
+
+
+def load(csv_path):
+    rows = []
+    with open(csv_path) as f:
+        for row in csv.DictReader(f):
+            m = re.match(r"-m (\d+) (-V (\d+)|-P (\d+)) -B (\d+)",
+                         row["config"])
+            if not m:
+                continue
+            strat = ("V" + m.group(3)) if m.group(3) is not None \
+                else ("P" + m.group(4))
+            rows.append(dict(
+                codec=row["codec"], preset=int(m.group(1)), strat=strat,
+                B=int(m.group(5)),
+                encode=float(row["encode_pct_rt"]),
+                decode=float(row["decode_pct_rt"]),
+                comp=float(row["compression_pct"])))
+    return rows
+
+
+STRAT_TITLE = {"V0": "fixed blocks", "V2": "variable blocks (-V 2)",
+               "P3": "long-term prediction (-P 3)"}
+
+
+def plot_group(rows, strat, B, metric, outdir):
+    sel = [r for r in rows if r["strat"] == strat and r["B"] == B]
+    if not sel:
+        return None
+    fig, ax = plt.subplots(figsize=(6.4, 4.6), dpi=120)
+    fig.patch.set_facecolor(SURFACE)
+    ax.set_facecolor(SURFACE)
+    codecs = [c for c in PALETTE if any(r["codec"] == c for r in sel)]
+    for codec in codecs:
+        pts = sorted((r for r in sel if r["codec"] == codec),
+                     key=lambda r: r["preset"])
+        xs = [r[metric] for r in pts]
+        ys = [r["comp"] for r in pts]
+        ax.plot(xs, ys, "-", color=PALETTE[codec], linewidth=2, alpha=0.55,
+                zorder=2)
+        ax.scatter(xs, ys, s=42, color=PALETTE[codec],
+                   marker=MARKERS[codec], label=codec, zorder=3,
+                   edgecolors=SURFACE, linewidths=1.2)
+        for r in pts:
+            ax.annotate(f"m{r['preset']}", (r[metric], r["comp"]),
+                        textcoords="offset points", xytext=(6, 5),
+                        fontsize=7.5, color=TEXT2)
+    ax.set_xlabel(f"{metric} time, % of realtime (lower = faster)",
+                  color=TEXT)
+    ax.set_ylabel("compressed size, % of original (lower = smaller)",
+                  color=TEXT)
+    ax.set_title(f"{STRAT_TITLE.get(strat, strat)}, B={B} — {metric}",
+                 color=TEXT, fontsize=11)
+    ax.grid(True, color=GRID, linewidth=0.8, zorder=0)
+    for spine in ax.spines.values():
+        spine.set_color(GRID)
+    ax.tick_params(colors=TEXT2, labelsize=8.5)
+    ax.legend(frameon=False, fontsize=8.5, labelcolor=TEXT)
+    fig.tight_layout()
+    name = f"{metric}_{strat}_B{B}.png"
+    fig.savefig(os.path.join(outdir, name), facecolor=SURFACE)
+    plt.close(fig)
+    return name
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--csv", default="evaluation/results_grid.csv")
+    ap.add_argument("--outdir", default="evaluation/plots")
+    args = ap.parse_args()
+    rows = load(args.csv)
+    os.makedirs(args.outdir, exist_ok=True)
+    groups = sorted({(r["strat"], r["B"]) for r in rows})
+    made = []
+    for strat, B in groups:
+        for metric in ("encode", "decode"):
+            name = plot_group(rows, strat, B, metric, args.outdir)
+            if name:
+                made.append(name)
+    print(f"wrote {len(made)} plots to {args.outdir}")
+
+
+if __name__ == "__main__":
+    main()
