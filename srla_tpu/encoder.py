@@ -128,8 +128,7 @@ class SRLAEncoder:
             backend = "exact"
         self.backend = backend
         self._device_exact_ok = (
-            parameter.ltp_order == 0
-            and parameter.num_svr_filter_learning_iteration == 0
+            parameter.num_svr_filter_learning_iteration == 0
             and parameter.bits_per_sample <= 24)
         # Per-encode capability/fallback accounting (no silent capability
         # holes: every block that falls back to the host is counted here).
@@ -673,8 +672,7 @@ class SRLAEncoder:
             # Large equal-size groups go through the device pipeline
             # (analysis + residual packing on TPU); small groups stay host.
             if self.backend == "tpu" and len(idxs) * max(C, 2) >= 8 \
-                    and size % 2 == 0 \
-                    and (self._approx_device or self._device_exact_ok):
+                    and self._device_size_ok(size):
                 results.update(self._encode_group_hybrid(
                     pcm, spans, idxs, size, offset_lshift))
                 continue
@@ -949,6 +947,20 @@ class SRLAEncoder:
     def _device_args_ex(self, n: int):
         return dict(self._device_args(n), ltp_order=self.p.ltp_order)
 
+    def _device_size_ok(self, size: int) -> bool:
+        """Can the device path handle this group size under the current
+        config? Odd sizes need the reference's stale-work-buffer emulation;
+        LTP needs fft_size >= LTP_MAX_PERIOD+1 lags (n >= 512 keeps the
+        pitch autocorrelation free of stale-buffer reads, lpc.c:1509-1528).
+        """
+        if size % 2:
+            return False
+        if not (self._approx_device or self._device_exact_ok):
+            return False
+        if self.p.ltp_order > 0 and size < 512 and not self._approx_device:
+            return False
+        return True
+
     def _variant_stack(self, blocks: np.ndarray, n: int, offset_lshift,
                        pad_bucket: int = 0):
         B, C, _ = blocks.shape
@@ -1002,11 +1014,22 @@ class SRLAEncoder:
                 padded = jax.device_put(
                     padded, NamedSharding(self.mesh,
                                           PartitionSpec(axis, None, None)))
-        args = (self._device_args_ex(size) if self._approx_device
-                else self._device_args(size))
-        small, big = analyze_blocks_ex(
-            padded, np.int32(offset_lshift), C=C, **args)
-        return dict(idxs=idxs, small=small, big=big, B=B, Bp=Bp, W=W, C=C)
+        if self._approx_device:
+            args = self._device_args_ex(size)
+            small, big = analyze_blocks_ex(
+                padded, np.int32(offset_lshift), C=C, **args)
+            return dict(idxs=idxs, small=small, big=big, B=B, Bp=Bp, W=W,
+                        C=C)
+        # Exact mode: fused analysis + selection + packing — one dispatch,
+        # one parameter fetch, one exact-size payload fetch per group.
+        from .kernels.exact import encode_blocks_exact
+        import os
+        args = self._device_args(size)
+        small, flat = encode_blocks_exact(
+            padded, np.int32(offset_lshift), C=C, W=W,
+            impl=os.environ.get("SRLA_PACK_IMPL", "scatter"),
+            ltp_order=self.p.ltp_order, **args)
+        return dict(idxs=idxs, small=small, flat=flat, B=B, Bp=Bp, W=W, C=C)
 
     def _encode_group_device(self, pcm: np.ndarray, spans, idxs, size: int,
                              offset_lshift: int) -> dict[int, bytes]:
@@ -1018,8 +1041,143 @@ class SRLAEncoder:
 
     def _device_finish(self, st: dict, pcm, spans, size: int,
                        offset_lshift: int) -> dict[int, bytes]:
-        """Fetch a dispatched group's analysis, select variants, pack the
-        chosen rows on device, and assemble framed blocks."""
+        """Fetch a dispatched group's results and assemble framed blocks."""
+        if "flat" in st:
+            return self._device_finish_fused(st, pcm, spans, size,
+                                             offset_lshift)
+        return self._device_finish_approx(st, pcm, spans, size,
+                                          offset_lshift)
+
+    def _device_finish_fused(self, st: dict, pcm, spans, size: int,
+                             offset_lshift: int) -> dict[int, bytes]:
+        """Exact fused path: selection and packing already ran in the
+        dispatch program; fetch the parameters, then exactly sum(lens_w)
+        words of the compacted payload buffer, and frame the blocks."""
+        import jax
+
+        idxs = st["idxs"]
+        C, B, Bp, W = st["C"], st["B"], st["Bp"], st["W"]
+        bps = self.p.bits_per_sample
+        raw_bits = bps * size * C
+        small = jax.device_get(st["small"])
+        risky_bi = np.asarray(small["risky_blk"])[:B]
+        raw_blk = np.asarray(small["raw_blk"])[:B]
+        method = np.asarray(small["method"])
+        lens_w = np.asarray(small["lens_w"]).astype(np.int64)
+        pack_ovf = np.asarray(small["pack_ovf"])
+        sec_bits = small["section_bits"].astype(np.int64)
+        starts = np.cumsum(lens_w) - lens_w
+        total = int(lens_w.sum())
+        flat = np.asarray(st["flat"][:total])          # exact-size fetch
+        flat_bytes = flat.astype(">u4").tobytes()
+
+        def row_of(bi, c):
+            m = int(method[bi])
+            if C == 1:
+                vix = 0
+            elif m == ChProcessMethod.MS:
+                vix = c if c < 2 else 2 + c
+            elif m == ChProcessMethod.LS and c == 1:
+                vix = 1
+            elif m == ChProcessMethod.SR and c == 0:
+                vix = 1
+            else:
+                vix = 2 + c
+            return vix * Bp + bi
+
+        results: dict[int, bytes] = {}
+        # Host repair: boundary-flagged blocks (decisions unproven) and rows
+        # the packer could not represent (block-impl frame overflow) or that
+        # exceeded the W-word section bound (lens_w forced to 0 by the
+        # kernel while the section is non-raw).
+        repair = set(np.flatnonzero(risky_bi).tolist())
+        self.stats["repaired_blocks"] += len(repair)
+        for bi in range(B):
+            if bi in repair or raw_blk[bi]:
+                continue
+            rows = [bi * C + c for c in range(C)]
+            if any(pack_ovf[r] for r in rows) \
+                    or any(lens_w[r] == 0 for r in rows):
+                repair.add(bi)
+                self.stats["w_overflow_blocks"] += 1
+        if repair:
+            results.update(self._encode_host_batch(
+                pcm, spans, [idxs[bi] for bi in sorted(repair)], size,
+                offset_lshift))
+        compress_idx = [bi for bi in range(B)
+                        if not raw_blk[bi] and bi not in repair]
+        self.stats["device_blocks"] += len(compress_idx)
+
+        native_ok = False
+        if compress_idx:
+            from . import native_decoder as nd
+            native_ok = nd.available()
+        if compress_idx and native_ok:
+            rows2 = np.array([[row_of(bi, c) for c in range(C)]
+                              for bi in compress_idx])
+            flatrows = np.array([[bi * C + c for c in range(C)]
+                                 for bi in compress_idx])
+            maxp = max(self.preset.max_num_parameters, 1)
+            ltp_o = self.p.ltp_order
+            framed, sizes = nd.assemble_blocks(
+                method[compress_idx], small["pre_prev"][rows2],
+                small["pre_coef"][rows2], small["orders"][rows2],
+                small["rshifts"][rows2], small["coefs"][rows2][:, :, :maxp],
+                flat_bytes, starts[flatrows.ravel()].astype(np.int64) * 4,
+                sec_bits[rows2.ravel()], C, bps, size,
+                ltp_order=ltp_o,
+                ltp_periods=(small["ltp_period"][rows2] if ltp_o > 0
+                             else None),
+                ltp_coefs=(small["ltp_coefs"][rows2] if ltp_o > 0
+                           else None))
+            for k, bi in enumerate(compress_idx):
+                i = idxs[bi]
+                sz = int(sizes[k])
+                if sz == 0:
+                    blk = pcm[:, spans[i][0]:spans[i][0] + size]
+                    results[i] = frame_block(
+                        BlockDataType.RAW, size,
+                        self._raw_payload(blk.astype(np.int32), size))
+                else:
+                    off = int(np.sum(sizes[:k]))
+                    results[i] = framed[off:off + sz]
+        elif compress_idx:
+            for bi in compress_idx:
+                i = idxs[bi]
+                pb = PayloadBuilder(int(small["bits"][bi]) // 8 + 8)
+                head = self._params_header_bits(small, method, B, bi,
+                                                row_of, C)
+                pb.append_bytes(head.getvalue(), head.tell_bits())
+                for c in range(C):
+                    r = bi * C + c
+                    lo = int(starts[r]) * 4
+                    hi = (int(starts[r]) + int(lens_w[r])) * 4
+                    pb.append_array(
+                        np.frombuffer(flat_bytes[lo:hi], np.uint8),
+                        int(sec_bits[row_of(bi, c)]))
+                payload = pb.getvalue()
+                if 8 * len(payload) >= raw_bits:
+                    blk = pcm[:, spans[i][0]:spans[i][0] + size]
+                    results[i] = frame_block(
+                        BlockDataType.RAW, size,
+                        self._raw_payload(blk.astype(np.int32), size))
+                else:
+                    results[i] = frame_block(BlockDataType.COMPRESS, size,
+                                             payload)
+        # Raw-fallback blocks decided on device.
+        for bi in range(B):
+            if raw_blk[bi] and bi not in repair:
+                i = idxs[bi]
+                blk = pcm[:, spans[i][0]:spans[i][0] + size].astype(np.int32)
+                results[i] = frame_block(BlockDataType.RAW, size,
+                                         self._raw_payload(blk, size))
+        self._report_progress(B * size)
+        return results
+
+    def _device_finish_approx(self, st: dict, pcm, spans, size: int,
+                              offset_lshift: int) -> dict[int, bytes]:
+        """Approx (f32) path: fetch analysis, select variants on host, pack
+        the chosen rows in a second dispatch, and assemble framed blocks."""
         import jax
 
         from .kernels.encode import pack_chosen
@@ -1443,8 +1601,7 @@ class SRLAEncoder:
             blocks = np.stack([window[:, offsets[k]:offsets[k] + size]
                                for k in idxs_compress]).astype(np.int32)
             if self.backend == "tpu" and len(idxs_compress) * max(C, 2) >= 8 \
-                    and size % 2 == 0 \
-                    and (self._approx_device or self._device_exact_ok):
+                    and self._device_size_ok(size):
                 bits = self._measure_group_device(blocks, size, offset_lshift)
             else:
                 _method, _params, bits = self._compute_coefficients(
@@ -1483,18 +1640,19 @@ class SRLAEncoder:
             padded[:B] = blocks
             small, _big = analyze_blocks_exact(
                 padded, np.int32(offset_lshift), C=C,
-                **self._device_args(size))
+                ltp_order=self.p.ltp_order, **self._device_args(size))
             small = jax.device_get({k: small[k] for k in
                                     ("section_bits", "orders", "coefs",
-                                     "risky")})
+                                     "risky", "ltp_period")})
             nvar = C + 2 if C >= 2 else 1
             risky_bi = np.asarray(
                 small["risky"]).reshape(nvar, Bp)[:, :B].any(axis=0)
         maxp = max(self.preset.max_num_parameters, 1)
+        ltp_periods = small.get("ltp_period",
+                                np.zeros(len(small["orders"]), np.int32))
         code_len, _ = self._account_bits(
             small["section_bits"].astype(np.int64), small["orders"],
-            small["coefs"][:, :maxp],
-            np.zeros(len(small["orders"]), np.int32), 0)
+            small["coefs"][:, :maxp], ltp_periods, self.p.ltp_order)
 
         def cl(vix):
             return code_len[vix * Bp:vix * Bp + B]

@@ -31,8 +31,10 @@ import numpy as np
 
 from ..constants import (CODER_LOG2_MAX_NUM_PARTITIONS,
                          LPC_COEFFICIENT_BITWIDTH,
+                         LPC_COEFFICIENT_ORDER_BITWIDTH,
                          LPC_RIDGE_REGULARIZATION_PARAMETER,
-                         PREEMPHASIS_COEF_SHIFT,
+                         LTP_COEFFICIENT_BITWIDTH, LTP_ORDER_BITWIDTH,
+                         LTP_PERIOD_BITWIDTH, PREEMPHASIS_COEF_SHIFT,
                          RSHIFT_LPC_COEFFICIENT_BITWIDTH)
 from ..dsp.window import welch_inverse_squared_sum, welch_window
 from ..rice import MLNOPTX, OPTX, _INV_LOGE2, _LOG_OPTX
@@ -560,12 +562,231 @@ def _rice_exact(residual: jnp.ndarray, n: int, max_porder: int):
 # Full per-variant pipeline
 # ---------------------------------------------------------------------------
 
+# ---------------------------------------------------------------------------
+# Long-term (pitch) prediction in df64 (parity: lpc.c:1473-1649)
+# ---------------------------------------------------------------------------
+
+_LTP_EPS_REL = np.float32(2.0 ** -36)   # compare margins, relative to ac[0]
+_EPS_LTP_QUANT = 1e-6                    # quantized-units rounding margin
+_PITCH_MAX_CAND = 20                     # MAX_NUM_PITCH_CANDIDATES
+_PITCH_THRESH = 0.1                      # PITCH_AUTOCORR_THRESHOLD
+_PITCH_RATIO = 0.9                       # PITCH_RATIO_VS_MAX_THRESHOLD
+_FLT_MIN = 1.1754943508222875e-38
+
+
+def _ltp_exact(work: jnp.ndarray, n: int, bps: int, fft_size: int,
+               ltp_order: int, min_period: int, max_period: int):
+    """Pitch detect + LTP solve + coefficient quantize, df64 with boundary
+    flagging. Returns (periods (V,) int32 — 0 = disabled, coefs_rev
+    (V, ltp_order) int32 in emission order, risky (V,) bool).
+
+    The reference's zero-crossing-bracketed peak scan (detect_pitch) is a
+    sequential cursor loop; here it is ONE lax.scan over the lag axis with a
+    per-row {seeking, in-segment} state machine, vectorized over variants.
+    Every comparison that feeds a discrete outcome (crossing signs, peak
+    tests, the running local/global maxima, the 0.1*ac[0] threshold and the
+    0.9*max ratio, Cholesky pivot positivity, coefficient rounding) carries
+    a margin test against the df64-vs-f64 error bound; close calls flag the
+    row for host re-derivation.
+    """
+    V = work.shape[0]
+    max_lag = max_period + 1
+    ach, acl = _autocorr_dd(work, n, bps, max_lag, fft_size)
+    pad = (max_period + 3 + 1) - max_lag      # host acbuf zero tail + guard
+    ach = jnp.pad(ach, ((0, 0), (0, pad)))
+    acl = jnp.pad(acl, ((0, 0), (0, pad)))
+    ac0 = (ach[:, 0], acl[:, 0])
+    eps = jnp.abs(ac0[0]) * _LTP_EPS_REL
+    zero = jnp.zeros((V,), jnp.float32)
+
+    def colv(j, off):
+        h = jax.lax.dynamic_slice_in_dim(ach, j + off, 1, axis=1)[:, 0]
+        lo = jax.lax.dynamic_slice_in_dim(acl, j + off, 1, axis=1)[:, 0]
+        return h, lo
+
+    def near(a, b):
+        return jnp.abs((a[0] - b[0]) + (a[1] - b[1])) < eps
+
+    def step(carry, j):
+        inseg, sp_h, sp_l, sidx, ncand, mp_h, mp_l, cands, risky = carry
+        am1 = colv(j, -1)
+        a0 = colv(j, 0)
+        ap1 = colv(j, 1)
+        zz = (zero, zero)
+        cross = dd.lt(am1, zz) & dd.gt(a0, zz)
+        risky = risky | near(am1, zz) | near(a0, zz)
+        enter = (~inseg) & (ncand < _PITCH_MAX_CAND) & cross
+        sp_h = jnp.where(enter, 0.0, sp_h)
+        sp_l = jnp.where(enter, 0.0, sp_l)
+        sidx = jnp.where(enter, 0, sidx)
+        inseg = inseg | enter
+        # Peak test at j (strict > both neighbors, > running local peak).
+        pk = inseg & dd.gt(a0, am1) & dd.gt(a0, ap1)
+        risky = risky | (inseg & (near(a0, am1) | near(a0, ap1)))
+        better = pk & dd.gt(a0, (sp_h, sp_l))
+        risky = risky | (pk & near(a0, (sp_h, sp_l)))
+        sp_h = jnp.where(better, a0[0], sp_h)
+        sp_l = jnp.where(better, a0[1], sp_l)
+        sidx = jnp.where(better, j, sidx)
+        # Segment close: first pos->neg crossing at or after start+1.
+        close = inseg & (~enter) & (j < max_period - 1) \
+            & dd.gt(a0, zz) & dd.lt(ap1, zz)
+        risky = risky | (inseg & (~enter) & (near(a0, zz) | near(ap1, zz)))
+        fin = close & (sidx != 0)
+        slot = jnp.arange(_PITCH_MAX_CAND, dtype=jnp.int32)[None, :]
+        upd = fin[:, None] & (slot == ncand[:, None])
+        cands = jnp.where(upd, sidx[:, None], cands)
+        adopt = fin & dd.gt((sp_h, sp_l), (mp_h, mp_l))
+        risky = risky | (fin & near((sp_h, sp_l), (mp_h, mp_l)))
+        mp_h = jnp.where(adopt, sp_h, mp_h)
+        mp_l = jnp.where(adopt, sp_l, mp_l)
+        ncand = ncand + fin.astype(jnp.int32)
+        inseg = inseg & ~close
+        return (inseg, sp_h, sp_l, sidx, ncand, mp_h, mp_l, cands,
+                risky), None
+
+    init = (jnp.zeros(V, bool), zero, zero, jnp.zeros(V, jnp.int32),
+            jnp.zeros(V, jnp.int32), zero, zero,
+            jnp.zeros((V, _PITCH_MAX_CAND), jnp.int32), jnp.zeros(V, bool))
+    (inseg, sp_h, sp_l, sidx, ncand, mp_h, mp_l, cands, risky), _ = \
+        jax.lax.scan(step, init,
+                     jnp.arange(min_period, max_period, dtype=jnp.int32))
+    # Unclosed trailing segment: the serial loop still appends its peak.
+    fin = inseg & (sidx != 0)
+    slot = jnp.arange(_PITCH_MAX_CAND, dtype=jnp.int32)[None, :]
+    upd = fin[:, None] & (slot == ncand[:, None])
+    cands = jnp.where(upd, sidx[:, None], cands)
+    adopt = fin & dd.gt((sp_h, sp_l), (mp_h, mp_l))
+    risky = risky | (fin & near((sp_h, sp_l), (mp_h, mp_l)))
+    mp_h = jnp.where(adopt, sp_h, mp_h)
+    mp_l = jnp.where(adopt, sp_l, mp_l)
+    ncand = ncand + fin.astype(jnp.int32)
+    mp = (mp_h, mp_l)
+
+    # Threshold and first-qualifying-candidate selection.
+    thresh = dd.mul(ac0, _dd_const(_PITCH_THRESH))
+    ok = (ncand > 0) & ~dd.lt(mp, thresh)
+    risky = risky | near(mp, thresh)
+    ratio = dd.mul(mp, _dd_const(_PITCH_RATIO))
+    cv_h = jnp.take_along_axis(ach, cands, axis=1)
+    cv_l = jnp.take_along_axis(acl, cands, axis=1)
+    live = slot < ncand[:, None]
+    qual = live & ~((cv_h < ratio[0][:, None])
+                    | ((cv_h == ratio[0][:, None])
+                       & (cv_l < ratio[1][:, None])))
+    risky = risky | jnp.any(
+        live & (jnp.abs((cv_h - ratio[0][:, None])
+                        + (cv_l - ratio[1][:, None])) < eps[:, None]),
+        axis=1)
+    first = jnp.argmax(qual, axis=1)
+    period = jnp.where(ok & jnp.any(qual, axis=1),
+                       jnp.take_along_axis(cands, first[:, None],
+                                           axis=1)[:, 0], 0)
+    # |ac[0]| <= FLT_MIN and short-period guards (integer-exact).
+    tiny = jnp.abs(ac0[0]) <= _FLT_MIN
+    risky = risky | (jnp.abs(jnp.abs(ac0[0]) - _FLT_MIN) < 1e-38)
+    period = jnp.where(tiny, 0, period)
+    period = jnp.where(period < (ltp_order // 2) + 1, 0, period)
+
+    # Cholesky solve (dim = ltp_order <= 3), df64, unrolled.
+    ridge = _dd_const(1.0 + LPC_RIDGE_REGULARIZATION_PARAMETER)
+    a0r = dd.mul(ac0, ridge)
+    lag = lambda i: (ach[:, i], acl[:, i])  # noqa: E731
+
+    def rhs(i):
+        idx = jnp.clip(period - (ltp_order // 2) + i, 0,
+                       ach.shape[1] - 1)[:, None]
+        return (jnp.take_along_axis(ach, idx, axis=1)[:, 0],
+                jnp.take_along_axis(acl, idx, axis=1)[:, 0])
+
+    eps_pos = jnp.abs(a0r[0]) * _LTP_EPS_REL
+    if ltp_order == 1:
+        s0 = a0r
+        singular = s0[0] + s0[1] <= 0
+        risky = risky | (jnp.abs(s0[0] + s0[1]) < eps_pos)
+        inv0 = dd.div(_dd_const(1.0), dd.sqrt(s0))
+        x0 = dd.mul(rhs(0), dd.mul(inv0, inv0))
+        coefs = [x0]
+    else:
+        # A = [[r0' r1 r2],[r1 r0' r1],[r2 r1 r0']]; forward then back subst.
+        r1, r2 = lag(1), lag(2)
+        s0 = a0r
+        singular = s0[0] + s0[1] <= 0
+        risky = risky | (jnp.abs(s0[0] + s0[1]) < eps_pos)
+        d0 = dd.div(_dd_const(1.0), dd.sqrt(s0))
+        l10 = dd.mul(r1, d0)
+        l20 = dd.mul(r2, d0)
+        s1 = dd.sub(a0r, dd.mul(l10, l10))
+        singular = singular | (s1[0] + s1[1] <= 0)
+        risky = risky | (jnp.abs(s1[0] + s1[1]) < eps_pos)
+        d1 = dd.div(_dd_const(1.0), dd.sqrt(s1))
+        l21 = dd.mul(dd.sub(r1, dd.mul(l20, l10)), d1)
+        s2 = dd.sub(dd.sub(a0r, dd.mul(l20, l20)), dd.mul(l21, l21))
+        singular = singular | (s2[0] + s2[1] <= 0)
+        risky = risky | (jnp.abs(s2[0] + s2[1]) < eps_pos)
+        d2 = dd.div(_dd_const(1.0), dd.sqrt(s2))
+        b0, b1, b2 = rhs(0), rhs(1), rhs(2)
+        y0 = dd.mul(b0, d0)
+        y1 = dd.mul(dd.sub(b1, dd.mul(l10, y0)), d1)
+        y2 = dd.mul(dd.sub(dd.sub(b2, dd.mul(l20, y0)), dd.mul(l21, y1)),
+                    d2)
+        x2 = dd.mul(y2, d2)
+        x1 = dd.mul(dd.sub(y1, dd.mul(l21, x2)), d1)
+        x0 = dd.mul(dd.sub(dd.sub(y0, dd.mul(l10, x1)), dd.mul(l20, x2)),
+                    d0)
+        coefs = [x0, x1, x2]
+    period = jnp.where(singular, 0, period)
+
+    # Quantize: round-half-away(c * 32), clip [-32, 31], reversed emission
+    # order (encoder.py:224-227).
+    qcoefs = []
+    for c in coefs:
+        scaled = dd.mul_pow2(c, 32.0)
+        q = dd.round_half_away(scaled)
+        risky = risky | ((period > 0)
+                         & (_dist_to_half(scaled) < _EPS_LTP_QUANT))
+        qv = jnp.clip(q[0] + q[1], -32.0, 31.0)
+        qcoefs.append(qv.astype(jnp.int32))
+    coefs_rev = jnp.stack(qcoefs[::-1], axis=1)
+    coefs_rev = jnp.where((period > 0)[:, None], coefs_rev, 0)
+    return period.astype(jnp.int32), coefs_rev, risky
+
+
+def _ltp_predict_dev(work: jnp.ndarray, coefs_rev: jnp.ndarray,
+                     periods: jnp.ndarray, ltp_order: int) -> jnp.ndarray:
+    """Integer LTP prediction filter, exact int32 wrap (dsp/predict.py
+    ltp_predict): out[s] = x[s] - ((half + sum_i c[i]*x[s-delay+i]) >> rs)
+    for s >= delay+1, x the unfiltered input throughout."""
+    V, n = work.shape
+    rs = LTP_COEFFICIENT_BITWIDTH - 1
+    half = jnp.int32(1 << (rs - 1))
+    delay = periods + (ltp_order >> 1)
+    s = jnp.arange(n, dtype=jnp.int32)[None, :]
+    acc = jnp.full((V, n), half, jnp.int32)
+    for i in range(ltp_order):
+        idx = jnp.clip(s - delay[:, None] + i, 0, n - 1)
+        acc = acc + coefs_rev[:, i:i + 1] * jnp.take_along_axis(work, idx,
+                                                                axis=1)
+    pred = acc >> rs
+    on = (periods > 0)[:, None] & (s >= (delay + 1)[:, None])
+    return jnp.where(on, work - pred, work)
+
+
 def _analyze_core_exact(sig: jnp.ndarray, *, n: int, bps: int,
                         max_params: int, max_fixed: bool, fft_size: int,
-                        max_porder: int):
+                        max_porder: int, ltp_order: int = 0):
     work, pre_coef, risky = _preemphasis_exact(sig)
     pre_prev = sig[:, 0]
     V = sig.shape[0]
+    ltp_period = jnp.zeros(V, jnp.int32)
+    ltp_coefs = jnp.zeros((V, max(ltp_order, 1)), jnp.int32)
+    if ltp_order > 0:
+        from ..constants import LTP_MAX_PERIOD, LTP_MIN_PERIOD
+        ltp_period, ltp_coefs, r_ltp = _ltp_exact(
+            work, n, bps, fft_size, ltp_order, LTP_MIN_PERIOD,
+            LTP_MAX_PERIOD)
+        work = _ltp_predict_dev(work, ltp_coefs, ltp_period, ltp_order)
+        risky = risky | r_ltp
     if max_params > 0:
         ac = _autocorr_dd(work, n, bps, max_params + 1, fft_size)
         ridge = _dd_const(1.0 + LPC_RIDGE_REGULARIZATION_PARAMETER)
@@ -597,22 +818,12 @@ def _analyze_core_exact(sig: jnp.ndarray, *, n: int, bps: int,
                 rshifts=rshifts, coefs=coefs_rev, residual=residual,
                 code_type=code_type, porder=porder, rice_bits=rice_bits,
                 ks=ks, risky=risky,
-                ltp_period=jnp.zeros(V, jnp.int32),
-                ltp_coefs=jnp.zeros((V, 1), jnp.int32))
+                ltp_period=ltp_period, ltp_coefs=ltp_coefs)
 
 
-@partial(jax.jit, static_argnames=("n", "bps", "max_params", "max_fixed",
-                                   "fft_size", "max_porder", "C"))
-def analyze_blocks_exact(blocks: jnp.ndarray, lshift, *, n: int, bps: int,
-                         max_params: int, max_fixed: bool, fft_size: int,
-                         max_porder: int, C: int):
-    """Exact-decision variant analysis (no LTP/SVR; the encoder routes those
-    to the host until their exact device pipelines land).
-
-    Same contract as kernels/encode.py:analyze_blocks_ex, plus
-    small['risky']: variants whose decisions are too boundary-close to prove
-    equal to the host's f64 pipeline and must be host-re-derived.
-    """
+def _variant_analysis(blocks, lshift, *, n, bps, max_params, max_fixed,
+                      fft_size, max_porder, C, ltp_order=0):
+    """Shared trace: stack stereo variants on device, run the exact core."""
     work = blocks.astype(jnp.int32) >> lshift
     parts = []
     if C >= 2:
@@ -624,12 +835,176 @@ def analyze_blocks_exact(blocks: jnp.ndarray, lshift, *, n: int, bps: int,
     with dd.pinned(lshift):
         out = _analyze_core_exact(sig, n=n, bps=bps, max_params=max_params,
                                   max_fixed=max_fixed, fft_size=fft_size,
-                                  max_porder=max_porder)
+                                  max_porder=max_porder,
+                                  ltp_order=ltp_order)
     u = _zigzag(out["residual"])
     small = {k: out[k] for k in ("pre_prev", "pre_coef", "orders", "rshifts",
                                  "coefs", "code_type", "porder",
                                  "ltp_period", "ltp_coefs", "risky")}
     small["section_bits"] = out["rice_bits"]
+    return small, u, out
+
+
+@partial(jax.jit, static_argnames=("n", "bps", "max_params", "max_fixed",
+                                   "fft_size", "max_porder", "C",
+                                   "ltp_order"))
+def analyze_blocks_exact(blocks: jnp.ndarray, lshift, *, n: int, bps: int,
+                         max_params: int, max_fixed: bool, fft_size: int,
+                         max_porder: int, C: int, ltp_order: int = 0):
+    """Exact-decision variant analysis (no SVR; the encoder routes that
+    to the host until its exact device pipeline lands).
+
+    Same contract as kernels/encode.py:analyze_blocks_ex, plus
+    small['risky']: variants whose decisions are too boundary-close to prove
+    equal to the host's f64 pipeline and must be host-re-derived.
+    """
+    small, u, out = _variant_analysis(
+        blocks, lshift, n=n, bps=bps, max_params=max_params,
+        max_fixed=max_fixed, fft_size=fft_size, max_porder=max_porder, C=C,
+        ltp_order=ltp_order)
     big = dict(u=u, code_type=out["code_type"], porder=out["porder"],
                ks=out["ks"])
     return small, big
+
+
+# ------------------------------------------------------------------ #
+# Fused encode: selection + packing in the analysis dispatch          #
+# ------------------------------------------------------------------ #
+# The remote-device link pays a round trip per dispatch AND per fetch, and
+# its latency swings by orders of magnitude; the fastest schedule is the one
+# with the fewest synchronization points. This program therefore carries one
+# chunk all the way from samples to a compacted bitstream buffer: analysis,
+# exact bit accounting (Huffman length LUTs), the stereo-method argmin, the
+# raw-fallback decision, chosen-row packing, and compaction — ONE dispatch,
+# then one small fetch (parameters) and one exact-size payload fetch.
+# Parity: srla_encoder.c:1121-1187 (accounting), :1323-1367 (selection).
+
+_hl_cache = {}
+
+
+def _huffman_len_tables():
+    if "t" not in _hl_cache:
+        from ..huffman import parameter_codebook, sum_parameter_codebook
+        _hl_cache["t"] = (
+            np.asarray(parameter_codebook().lengths, np.int32),
+            np.asarray(sum_parameter_codebook().lengths, np.int32))
+    return _hl_cache["t"]
+
+
+def _zig32(x):
+    return ((x << 1) ^ (x >> 31)).astype(jnp.uint32)
+
+
+def _account_bits_dev(sec_bits, orders, coefs, bps: int):
+    """Device twin of SRLAEncoder._account_bits (no-LTP form): exact
+    per-variant code length and the direct-vs-summed coefficient choice."""
+    plens_np, slens_np = _huffman_len_tables()
+    plens = jnp.asarray(plens_np)
+    slens = jnp.asarray(slens_np)
+    V, M = coefs.shape
+    mask = jnp.arange(M)[None, :] < orders[:, None]
+    uv = _zig32(coefs)
+    uvc = jnp.minimum(uv, 255).astype(jnp.int32)
+    coef_cost = jnp.sum(jnp.where(mask, plens[uvc], 0), axis=1)
+    summed = coefs[:, 1:] + coefs[:, :-1]          # int32 wrap == host
+    suv = _zig32(summed)
+    smask = mask[:, 1:]
+    svalid = jnp.all(~smask | (suv < 256), axis=1)
+    suvc = jnp.minimum(suv, 255).astype(jnp.int32)
+    sum_cost = plens[uvc[:, 0]] + jnp.sum(jnp.where(smask, slens[suvc], 0),
+                                          axis=1)
+    use_sum = (orders > 0) & svalid & ((orders == 1)
+                                       | (sum_cost < coef_cost))
+    coef_bits = jnp.where(orders > 0,
+                          jnp.where(use_sum, sum_cost, coef_cost), 0)
+    fixed = (bps + 1 + (PREEMPHASIS_COEF_SHIFT + 1)
+             + LPC_COEFFICIENT_ORDER_BITWIDTH
+             + RSHIFT_LPC_COEFFICIENT_BITWIDTH + 1 + 1)
+    return sec_bits.astype(jnp.int32) + fixed + coef_bits, use_sum
+
+
+@partial(jax.jit, static_argnames=("n", "bps", "max_params", "max_fixed",
+                                   "fft_size", "max_porder", "C", "W",
+                                   "impl", "ltp_order"))
+def encode_blocks_exact(blocks: jnp.ndarray, lshift, *, n: int, bps: int,
+                        max_params: int, max_fixed: bool, fft_size: int,
+                        max_porder: int, C: int, W: int,
+                        impl: str = "scatter", ltp_order: int = 0):
+    """Fused exact encode of one equal-size block group.
+
+    Returns (small, flat): `small` holds the per-variant parameters plus the
+    per-block selection results — method, raw-fallback mask, risky mask —
+    and the per-(block,channel) packed-section word lengths `lens_w` (row
+    r = block*C + channel; zero rows were not packed: raw fallback, risky
+    block, or W overflow). `flat` is a (Bp*C*W,) word buffer whose first
+    sum(lens_w) words are the chosen residual sections, bit-packed and
+    compacted in row order; the caller fetches exactly that prefix.
+    """
+    from .bitpack import pack_residual_sections
+
+    small, u, out = _variant_analysis(
+        blocks, lshift, n=n, bps=bps, max_params=max_params,
+        max_fixed=max_fixed, fft_size=fft_size, max_porder=max_porder, C=C,
+        ltp_order=ltp_order)
+    nvar = C + 2 if C >= 2 else 1
+    Bp = blocks.shape[0]
+    maxp = max(max_params, 1)
+    code_len, use_sum = _account_bits_dev(
+        small["section_bits"], small["orders"], small["coefs"][:, :maxp],
+        bps)
+    if ltp_order > 0:
+        code_len = code_len + jnp.where(
+            small["ltp_period"] > 0,
+            LTP_ORDER_BITWIDTH + LTP_PERIOD_BITWIDTH
+            + ltp_order * LTP_COEFFICIENT_BITWIDTH, 0)
+
+    cl = code_len.reshape(nvar, Bp)
+    if C >= 2:
+        lens4 = jnp.stack([cl[2] + cl[3], cl[0] + cl[1],
+                           cl[2] + cl[1], cl[3] + cl[1]])
+        method = jnp.argmin(lens4, axis=0).astype(jnp.int32)
+        bits = jnp.take_along_axis(lens4, method[None, :], axis=0)[0]
+    else:
+        method = jnp.zeros(Bp, jnp.int32)
+        bits = cl[0]
+    bits = ((bits + 2 + 7) // 8) * 8
+    raw_blk = bits >= bps * n * C
+    risky_blk = small["risky"].reshape(nvar, Bp).any(axis=0)
+
+    # Chosen variant row per (block, channel), r = bi*C + c.
+    bi = jnp.arange(Bp, dtype=jnp.int32)[:, None]
+    ci = jnp.arange(C, dtype=jnp.int32)[None, :]
+    if C >= 2:
+        m = method[:, None]
+        vix = jnp.where((m == 1) & (ci < 2), ci,
+                        jnp.where(((m == 2) & (ci == 1))
+                                  | ((m == 3) & (ci == 0)), 1, 2 + ci))
+    else:
+        vix = jnp.zeros((Bp, 1), jnp.int32)
+    rows = (vix * Bp + bi).reshape(-1)
+
+    sec = small["section_bits"][rows].astype(jnp.int32)
+    skip = (raw_blk | risky_blk)[:, None] | (sec.reshape(Bp, C) > W * 32)
+    lens_w = jnp.where(skip.reshape(-1), 0, (sec + 31) // 32)
+    csum = jnp.cumsum(lens_w)
+    starts = (csum - lens_w).astype(jnp.int32)
+    K = Bp * C
+
+    words, _, ovf = pack_residual_sections(
+        u[rows], out["code_type"][rows], out["porder"][rows],
+        out["ks"][rows], n, W, impl)
+    cap = K * W
+    j = jnp.arange(cap, dtype=jnp.int32)
+    seg = jnp.clip(jnp.searchsorted(starts, j, side="right") - 1, 0, K - 1)
+    col = j - starts[seg]
+    ok = (col >= 0) & (col < lens_w[seg])
+    flat = jnp.where(ok, words[seg, jnp.clip(col, 0, W - 1)], 0)
+
+    small["method"] = method
+    small["bits"] = bits
+    small["raw_blk"] = raw_blk
+    small["risky_blk"] = risky_blk
+    small["use_sum"] = use_sum
+    small["lens_w"] = lens_w
+    small["pack_ovf"] = ovf
+    return small, flat

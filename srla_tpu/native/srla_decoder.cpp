@@ -344,6 +344,72 @@ long srla_decode_block(
     return consumed;
 }
 
+// Batched parameter-header parse for the device decode driver: per block,
+// decode everything BEFORE the residual sections (method, pre-emphasis,
+// LPC orders/shifts/Huffman coefs, LTP fields) and report the bit offset of
+// channel 0's residual section. The entropy-heavy residual decode stays on
+// the accelerator (kernels/decode.py); this keeps the host's share of the
+// work at C speed. Parity: srla_decoder.c:510-596 field order.
+long srla_parse_params_batch(
+    const uint8_t *data, const int64_t *payload_off,
+    const int64_t *payload_size, long nblocks,
+    int num_channels, int bits_per_sample,
+    const int16_t *plut_sym, const uint8_t *plut_len, int plut_bits,
+    const int16_t *slut_sym, const uint8_t *slut_len, int slut_bits,
+    int max_coef, int32_t *method, int32_t *pre_prev, int32_t *pre_coef,
+    int32_t *orders, int32_t *rshifts, int32_t *coefs, int32_t *ltp_orders,
+    int32_t *ltp_periods, int32_t *ltp_coefs, int64_t *start_bits) {
+    const int C = num_channels;
+    if (C > 16) return -1;
+    for (long b = 0; b < nblocks; b++) {
+        BitReader br;
+        br.init(data + payload_off[b], payload_size[b]);
+        method[b] = (int32_t)br.get(2);
+        if (method[b] > 3) return -(b + 2);
+        for (int c = 0; c < C; c++) {
+            pre_prev[b * C + c] = unzigzag(br.get(bits_per_sample + 1));
+            pre_coef[b * C + c] = unzigzag(br.get(5));
+        }
+        for (int c = 0; c < C; c++) {
+            int o = (int)br.get(8);
+            orders[b * C + c] = o;
+            rshifts[b * C + c] = (int32_t)br.get(4);
+            uint32_t use_sum = br.get(1);
+            if (o > max_coef) return -(b + 2);
+            int32_t *cf = coefs + ((long)b * C + c) * max_coef;
+            for (int i = 0; i < o; i++) {
+                const int16_t *sym = (i == 0 || !use_sum) ? plut_sym
+                                                          : slut_sym;
+                const uint8_t *len = (i == 0 || !use_sum) ? plut_len
+                                                          : slut_len;
+                int kbits = (i == 0 || !use_sum) ? plut_bits : slut_bits;
+                uint32_t peeked = br.peek(kbits);
+                int16_t s = sym[peeked];
+                uint8_t l = len[peeked];
+                if (l == 0) return -(b + 2);
+                br.drop(l);
+                int32_t v = unzigzag((uint32_t)s);
+                cf[i] = (i == 0 || !use_sum) ? v : v - cf[i - 1];
+            }
+        }
+        for (int c = 0; c < C; c++) {
+            int32_t lo = 0, lp = 0;
+            int32_t *lc = ltp_coefs + ((long)b * C + c) * 8;
+            if (br.get(1)) {
+                lo = 2 * (int32_t)br.get(1) + 1;
+                lp = (int32_t)br.get(8) + 8;
+                for (int i = 0; i < lo; i++)
+                    lc[i] = unzigzag(br.get(6));
+            }
+            ltp_orders[b * C + c] = lo;
+            ltp_periods[b * C + c] = lp;
+        }
+        if (br.count < 0) return -(b + 2);  // read past the payload end
+        start_bits[b] = br.bits_consumed(data + payload_off[b]);
+    }
+    return 0;
+}
+
 // Standalone residual decoder (one channel) for partial/streaming use.
 long srla_rice_decode(const uint8_t *payload, long payload_size,
                       long start_bit, int num_samples, int32_t *out) {

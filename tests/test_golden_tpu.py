@@ -34,9 +34,13 @@ CASES = [
     # Variable blocks: device-exact span measurement feeds the Dijkstra DP.
     ("vblock_noise_V2", "white_noise", 1, 16, dict(preset=4,
                                                    variable_divisions=2)),
-    # LTP configs are host-routed in exact device mode (logged, not silent);
-    # backend="tpu" must still produce the exact stream.
+    # LTP on device: df64 pitch detect (scan state machine) + Cholesky +
+    # quantize with boundary flags, then the integer LTP filter feeds the
+    # LPC chain (kernels/exact.py _ltp_exact).
     ("ltp_p4_P3", "pitchy", 1, 16, dict(preset=4, ltp_order=3)),
+    ("ltp_p4_P1_stereo", "pitchy", 2, 16, dict(preset=4, ltp_order=1)),
+    ("ltp_vblock_P3_V1", "pitchy", 2, 16, dict(preset=2, ltp_order=3,
+                                               variable_divisions=1)),
 ]
 
 
@@ -59,15 +63,26 @@ def test_tpu_backend_deterministic():
 
 
 def test_fallbacks_are_counted():
-    """No silent capability holes: LTP configs must report the host routing."""
+    """No silent capability holes: SVR configs must report the host routing,
+    and LTP (now device-supported) must actually run on device."""
     from srla_tpu.encoder import EncodeParameter, SRLAEncoder
     p = EncodeParameter(num_channels=1, bits_per_sample=16,
                         sampling_rate=44100, min_num_samples_per_block=4096,
                         max_num_samples_per_block=4096,
-                        num_lookahead_samples=4096, preset=4, ltp_order=3)
+                        num_lookahead_samples=4096, preset=4,
+                        num_svr_filter_learning_iteration=2)
     enc = SRLAEncoder(p, backend="tpu")
     assert enc.stats["device_unsupported_config"]
     pcm = signals.ALL["pitchy"](N, 1, 16)
     enc.encode_whole(pcm)
     assert enc.stats["host_blocks"] > 0
     assert enc.stats["device_blocks"] == 0
+
+    p2 = EncodeParameter(num_channels=1, bits_per_sample=16,
+                         sampling_rate=44100, min_num_samples_per_block=4096,
+                         max_num_samples_per_block=4096,
+                         num_lookahead_samples=4096, preset=4, ltp_order=3)
+    enc2 = SRLAEncoder(p2, backend="tpu")
+    assert not enc2.stats["device_unsupported_config"]
+    enc2.encode_whole(pcm)
+    assert enc2.stats["device_blocks"] > 0

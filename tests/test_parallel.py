@@ -62,3 +62,45 @@ def test_encode_corpus_sharded_lossless():
     for pcm, stream in zip(files, streams):
         _, out = decode(stream)
         assert np.array_equal(out, pcm)
+
+
+@pytest.mark.skipif("_devices() < 8", reason="needs 8 (virtual) devices")
+def test_fused_dispatch_actually_sharded():
+    """The fused exact device program must run SPMD over the mesh: the
+    dispatch input carries the block-axis NamedSharding, and its streams are
+    byte-identical to the single-device exact path."""
+    import os
+
+    from srla_tpu import encode
+    from srla_tpu.encoder import EncodeParameter, SRLAEncoder
+    from srla_tpu.parallel import make_mesh
+
+    rng = np.random.RandomState(7)
+    pcm = (rng.randn(2, 512 * 24) * 2500).astype(np.int32)
+    mesh = make_mesh(8)
+    param = EncodeParameter(num_channels=2, bits_per_sample=16,
+                            sampling_rate=44100, preset=2,
+                            max_num_samples_per_block=512,
+                            min_num_samples_per_block=512,
+                            num_lookahead_samples=4 * 512)
+    enc = SRLAEncoder(param, backend="tpu", mesh=mesh)
+
+    seen = {}
+    orig = enc._device_dispatch
+
+    def spy(pcm_, spans, idxs, size, lsh):
+        st = orig(pcm_, spans, idxs, size, lsh)
+        seen["sharding"] = st["small"]["orders"].sharding
+        return st
+
+    enc._device_dispatch = spy
+    os.environ["SRLA_TPU_HOST_SHARE"] = "0"
+    try:
+        stream = enc.encode_whole(pcm)
+    finally:
+        del os.environ["SRLA_TPU_HOST_SHARE"]
+    assert "sharding" in seen, "device dispatch never ran"
+    # The per-variant outputs must span the whole mesh, not one device.
+    assert len(seen["sharding"].device_set) == 8
+    ref = encode(pcm, 16, 44100, preset=2, max_block=512, backend="exact")
+    assert stream == ref
