@@ -223,100 +223,135 @@ class SRLADecoder:
                              header: StreamHeader) -> np.ndarray:
         """Fused scan decode: Rice unpack + LPC + LTP + de-emphasis + stereo
         inverse run in ONE device program per block group (kernels/decode.py
-        decode_blocks_device); the host parses block/parameter headers and
-        performs a single result fetch per group."""
+        decode_blocks_device). The host walks block headers and batch-parses
+        every parameter header in one native call (srla_parse_params_batch);
+        one result fetch per group."""
         C, N = header.num_channels, header.num_samples
         pcm = np.zeros((C, N), dtype=np.int32)
         offset = HEADER_SIZE
         progress = 0
-        groups: dict[int, list] = {}   # n -> [(progress, bp, payload, start)]
+        progs, sizes, poffs, psizes = [], [], [], []
         while progress < N and offset < len(data):
             btype, nsamples, poff, psize = parse_block_header(
                 data, offset, self.check_checksum)
-            payload = data[poff:poff + psize]
             if btype == BlockDataType.RAW:
                 pcm[:, progress:progress + nsamples] = self.decode_raw_block(
-                    payload, header, nsamples)
+                    data[poff:poff + psize], header, nsamples)
             elif btype == BlockDataType.COMPRESS:
-                bp, r = self._parse_params(payload, header)
-                groups.setdefault(nsamples, []).append(
-                    (progress, bp, payload, r.pos))
+                progs.append(progress)
+                sizes.append(nsamples)
+                poffs.append(poff)
+                psizes.append(psize)
             offset = poff + psize
             progress += nsamples
-        for n, entries in groups.items():
-            if len(entries) < self._DEV_MIN_GROUP:
-                self.stats["host_blocks"] += len(entries)
-                for prog, bp, payload, start in entries:
-                    r = BitReader(payload)
-                    r.pos = start
+        if not progs:
+            return pcm
+        poffs = np.asarray(poffs, np.int64)
+        psizes = np.asarray(psizes, np.int64)
+        if self._native is not None:
+            pp = self._native.parse_params_batch(
+                data, poffs, psizes, C, header.bits_per_sample,
+                max_coef=MAX_COEFFICIENT_ORDER)
+        else:
+            pp = {k: np.zeros((len(progs), C), np.int32) for k in
+                  ("pre_prev", "pre_coef", "orders", "rshifts",
+                   "ltp_orders", "ltp_periods")}
+            pp["method"] = np.zeros(len(progs), np.int32)
+            pp["coefs"] = np.zeros((len(progs), C, MAX_COEFFICIENT_ORDER),
+                                   np.int32)
+            pp["ltp_coefs"] = np.zeros((len(progs), C, 8), np.int32)
+            pp["start_bits"] = np.zeros(len(progs), np.int64)
+            for b, (po, ps) in enumerate(zip(poffs, psizes)):
+                bp, r = self._parse_params(data[po:po + ps], header)
+                pp["method"][b] = bp.method
+                pp["pre_prev"][b] = bp.pre_prev
+                pp["pre_coef"][b] = bp.pre_coef
+                pp["orders"][b] = bp.orders
+                pp["rshifts"][b] = bp.rshifts
+                pp["coefs"][b] = bp.coefs[:, :MAX_COEFFICIENT_ORDER]
+                pp["ltp_orders"][b] = bp.ltp_orders
+                pp["ltp_periods"][b] = bp.ltp_periods
+                pp["ltp_coefs"][b] = bp.ltp_coefs
+                pp["start_bits"][b] = r.pos
+
+        groups: dict[int, list] = {}
+        for b, n in enumerate(sizes):
+            groups.setdefault(n, []).append(b)
+        for n, idxs in groups.items():
+            if len(idxs) < self._DEV_MIN_GROUP:
+                self.stats["host_blocks"] += len(idxs)
+                for b in idxs:
+                    bp = _BlockParams(
+                        int(pp["method"][b]), pp["pre_prev"][b],
+                        pp["pre_coef"][b], pp["orders"][b], pp["rshifts"][b],
+                        pp["coefs"][b], pp["ltp_orders"][b],
+                        pp["ltp_periods"][b], pp["ltp_coefs"][b], None)
+                    r = BitReader(data[poffs[b]:poffs[b] + psizes[b]])
+                    r.pos = int(pp["start_bits"][b])
                     bp.residual = np.stack(
                         [rice.decode(r, n) for _c in range(C)])
-                    pcm[:, prog:prog + n] = self.synthesize_block(
+                    pcm[:, progs[b]:progs[b] + n] = self.synthesize_block(
                         bp, header, n)
                 continue
-            for lo in range(0, len(entries), self._DEV_CHUNK):
-                chunk = entries[lo:lo + self._DEV_CHUNK]
-                self._decode_group_device(chunk, header, n, pcm)
+            for lo in range(0, len(idxs), self._DEV_CHUNK):
+                self._decode_group_device(
+                    data, idxs[lo:lo + self._DEV_CHUNK], pp, poffs, psizes,
+                    progs, header, n, pcm)
         return pcm
 
-    def _decode_group_device(self, entries, header: StreamHeader, n: int,
+    def _decode_group_device(self, data, idxs, pp, poffs, psizes, progs,
+                             header: StreamHeader, n: int,
                              pcm: np.ndarray) -> None:
         import jax.numpy as jnp
 
         from .kernels.decode import _MAX_LTP, decode_blocks_device
 
         C = header.num_channels
-        B = len(entries)
+        B = len(idxs)
         # Static-shape bucketing: device programs compile once per
         # (Bp, W, n, C, M) bucket and the persistent XLA cache makes later
         # processes start hot.
         Bp = 64
         while Bp < B:
             Bp *= 2
-        W = max((max(len(p) for _, _, p, _ in entries) + 3) // 4, 1)
+        sel = np.asarray(idxs)
+        W = max((int(psizes[sel].max()) + 3) // 4, 1)
         W = ((W + 511) // 512) * 512
         # M buckets to multiples of 8 over the group's actual max order.
-        M = max(int(max(int(bp.orders.max()) for _, bp, _, _ in entries)), 1)
+        M = max(int(pp["orders"][sel].max()), 1)
         M = ((M + 7) // 8) * 8
 
         words = np.zeros((Bp, W), dtype=np.uint32)
         wv = words.view(np.uint8).reshape(Bp, W * 4)
-        start_bits = np.zeros(Bp, np.int32)
-        methods = np.zeros(Bp, np.int32)
-        orders = np.zeros((Bp, C), np.int32)
-        rshifts = np.zeros((Bp, C), np.int32)
-        coefs = np.zeros((Bp, C, M), np.int32)
-        ltp_orders = np.zeros((Bp, C), np.int32)
-        ltp_periods = np.zeros((Bp, C), np.int32)
-        ltp_coefs = np.zeros((Bp, C, _MAX_LTP), np.int32)
-        pre_coef = np.zeros((Bp, C), np.int32)
-        pre_prev = np.zeros((Bp, C), np.int32)
-        for bi, (prog, bp, payload, start) in enumerate(entries):
-            wv[bi, :len(payload)] = np.frombuffer(payload, np.uint8)
-            start_bits[bi] = start
-            methods[bi] = bp.method
-            orders[bi] = bp.orders
-            rshifts[bi] = bp.rshifts
-            coefs[bi] = bp.coefs[:, :M]
-            ltp_orders[bi] = bp.ltp_orders
-            ltp_periods[bi] = bp.ltp_periods
-            ltp_coefs[bi] = bp.ltp_coefs[:, :_MAX_LTP]
-            pre_coef[bi] = bp.pre_coef
-            pre_prev[bi] = bp.pre_prev
+        raw = np.frombuffer(data, np.uint8)
+        for bi, b in enumerate(idxs):
+            wv[bi, :psizes[b]] = raw[poffs[b]:poffs[b] + psizes[b]]
+
+        def padded(arr, fill=0):
+            out = np.zeros((Bp,) + arr.shape[1:], np.int32)
+            out[:B] = arr[sel]
+            return out
+
+        start_bits = padded(pp["start_bits"].astype(np.int32)[:, None])[:, 0]
         words = words.byteswap()         # payload bytes are big-endian words
         # Padding rows decode as ALLZERO sections ('10' at bit 0).
         words[B:, 0] = 0x80000000
         out = decode_blocks_device(
-            jnp.asarray(words), jnp.asarray(start_bits), jnp.asarray(orders),
-            jnp.asarray(rshifts), jnp.asarray(coefs),
-            jnp.asarray(ltp_orders), jnp.asarray(ltp_periods),
-            jnp.asarray(ltp_coefs), jnp.asarray(pre_coef),
-            jnp.asarray(pre_prev), jnp.asarray(methods),
+            jnp.asarray(words), jnp.asarray(start_bits),
+            jnp.asarray(padded(pp["orders"])),
+            jnp.asarray(padded(pp["rshifts"])),
+            jnp.asarray(padded(pp["coefs"][:, :, :M])),
+            jnp.asarray(padded(pp["ltp_orders"])),
+            jnp.asarray(padded(pp["ltp_periods"])),
+            jnp.asarray(padded(pp["ltp_coefs"][:, :, :_MAX_LTP])),
+            jnp.asarray(padded(pp["pre_coef"])),
+            jnp.asarray(padded(pp["pre_prev"])),
+            jnp.asarray(padded(pp["method"][:, None])[:, 0]),
             np.int32(header.offset_lshift), n=n, C=C, M=M)
         out = np.asarray(out)
         self.stats["device_blocks"] += B
-        for bi, (prog, _, _, _) in enumerate(entries):
-            pcm[:, prog:prog + n] = out[bi]
+        for bi, b in enumerate(idxs):
+            pcm[:, progs[b]:progs[b] + n] = out[bi]
 
 
 def decode(data: bytes, check_checksum: bool = True):

@@ -80,6 +80,9 @@ def deemphasis_batch(data: jnp.ndarray, coef: jnp.ndarray, prev: jnp.ndarray,
 _LTP_RING = 512                     # > LTP_MAX_PERIOD + max half-order + 1
 _LTP_RSHIFT = LTP_COEFFICIENT_BITWIDTH - 1
 _MAX_LTP = 3                        # MAX_LTP_ORDER
+# Scan unroll was measured neutral on v5e (the step is gather-latency-bound,
+# not loop-overhead-bound) while inflating compiles ~4x; keep 1.
+_UNROLL = 1
 
 
 def _next_one(words: jnp.ndarray) -> jnp.ndarray:
@@ -237,7 +240,8 @@ def decode_blocks_device(words, start_bits, orders, rshifts, coefs,
         init = (pos, k, jnp.zeros((B, M), jnp.int32),
                 jnp.zeros((B, _LTP_RING), jnp.int32), dprev)
         (pos, k, _, _, _), ys = jax.lax.scan(
-            step, init, jnp.arange(n, dtype=jnp.int32))
+            step, init, jnp.arange(n, dtype=jnp.int32),
+            unroll=min(_UNROLL, n))
         chans.append(ys.T)                             # (B, n)
 
     out = jnp.stack(chans, axis=1)                     # (B, C, n)

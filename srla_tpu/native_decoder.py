@@ -63,6 +63,12 @@ def _load():
         ctypes.c_void_p, ctypes.c_void_p, ctypes.c_int,
         ctypes.c_void_p,
     ]
+    lib.srla_parse_params_batch.restype = ctypes.c_long
+    lib.srla_parse_params_batch.argtypes = (
+        [ctypes.c_char_p, ctypes.c_void_p, ctypes.c_void_p, ctypes.c_long,
+         ctypes.c_int, ctypes.c_int]
+        + [ctypes.c_void_p, ctypes.c_void_p, ctypes.c_int] * 2
+        + [ctypes.c_int] + [ctypes.c_void_p] * 10)
     lib.srla_assemble_blocks.restype = ctypes.c_long
     lib.srla_assemble_blocks.argtypes = (
         [ctypes.c_long] + [ctypes.c_int] * 4
@@ -430,6 +436,45 @@ def decode_stream(body: bytes, num_channels: int, bits_per_sample: int,
         # Clean truncation at a block boundary: reference semantics decode
         # what is present and leave the tail silent.
         out[:, r:] = 0
+    return out
+
+
+def parse_params_batch(data: bytes, payload_off: np.ndarray,
+                       payload_size: np.ndarray, num_channels: int,
+                       bits_per_sample: int, max_coef: int = 256):
+    """Parse the parameter headers of many COMPRESS payloads in one native
+    call. Returns a dict of arrays (B[, C][, .]) plus 'start_bits' (B,), the
+    bit offset of channel 0's residual section within each payload."""
+    lib = _load()
+    (psym, plen, pk), (ssym, slen, sk) = _luts()
+    B = len(payload_off)
+    C = num_channels
+    off = np.ascontiguousarray(payload_off, np.int64)
+    psz = np.ascontiguousarray(payload_size, np.int64)
+    out = dict(
+        method=np.zeros(B, np.int32),
+        pre_prev=np.zeros((B, C), np.int32),
+        pre_coef=np.zeros((B, C), np.int32),
+        orders=np.zeros((B, C), np.int32),
+        rshifts=np.zeros((B, C), np.int32),
+        coefs=np.zeros((B, C, max_coef), np.int32),
+        ltp_orders=np.zeros((B, C), np.int32),
+        ltp_periods=np.zeros((B, C), np.int32),
+        ltp_coefs=np.zeros((B, C, 8), np.int32),
+        start_bits=np.zeros(B, np.int64),
+    )
+    r = lib.srla_parse_params_batch(
+        data, off.ctypes.data_as(ctypes.c_void_p),
+        psz.ctypes.data_as(ctypes.c_void_p), B, C, bits_per_sample,
+        psym.ctypes.data_as(ctypes.c_void_p),
+        plen.ctypes.data_as(ctypes.c_void_p), pk,
+        ssym.ctypes.data_as(ctypes.c_void_p),
+        slen.ctypes.data_as(ctypes.c_void_p), sk, max_coef,
+        *(out[k].ctypes.data_as(ctypes.c_void_p) for k in
+          ("method", "pre_prev", "pre_coef", "orders", "rshifts", "coefs",
+           "ltp_orders", "ltp_periods", "ltp_coefs", "start_bits")))
+    if r < 0:
+        raise ValueError(f"native parse: malformed payload (block {-r - 2})")
     return out
 
 
