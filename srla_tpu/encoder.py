@@ -127,9 +127,7 @@ class SRLAEncoder:
             # The approx fast path covers LTP for fixed-size blocks only.
             backend = "exact"
         self.backend = backend
-        self._device_exact_ok = (
-            parameter.num_svr_filter_learning_iteration == 0
-            and parameter.bits_per_sample <= 24)
+        self._device_exact_ok = parameter.bits_per_sample <= 24
         # Per-encode capability/fallback accounting (no silent capability
         # holes: every block that falls back to the host is counted here).
         self.stats = {"device_blocks": 0, "host_blocks": 0,
@@ -743,7 +741,7 @@ class SRLAEncoder:
     # per-round dispatch/transfer latency; the device chunk is a multiple of
     # its 128-block compile bucket. SRLA_TPU_HOST_SHARE=0 disables the host
     # thread, =1 disables the device.
-    _HYBRID_DEV_CHUNK = 256
+    _HYBRID_DEV_CHUNK = 512
     _HYBRID_HOST_CHUNK = 64
 
     def _encode_group_hybrid(self, pcm, spans, idxs, size, offset_lshift):
@@ -1028,7 +1026,9 @@ class SRLAEncoder:
         small, flat = encode_blocks_exact(
             padded, np.int32(offset_lshift), C=C, W=W,
             impl=os.environ.get("SRLA_PACK_IMPL", "scatter"),
-            ltp_order=self.p.ltp_order, **args)
+            ltp_order=self.p.ltp_order,
+            svr_iter=self.p.num_svr_filter_learning_iteration,
+            margins=tuple(self.preset.margin_list), **args)
         return dict(idxs=idxs, small=small, flat=flat, B=B, Bp=Bp, W=W, C=C)
 
     def _encode_group_device(self, pcm: np.ndarray, spans, idxs, size: int,
@@ -1640,7 +1640,10 @@ class SRLAEncoder:
             padded[:B] = blocks
             small, _big = analyze_blocks_exact(
                 padded, np.int32(offset_lshift), C=C,
-                ltp_order=self.p.ltp_order, **self._device_args(size))
+                ltp_order=self.p.ltp_order,
+                svr_iter=self.p.num_svr_filter_learning_iteration,
+                margins=tuple(self.preset.margin_list),
+                **self._device_args(size))
             small = jax.device_get({k: small[k] for k in
                                     ("section_bits", "orders", "coefs",
                                      "risky", "ltp_period")})

@@ -563,6 +563,379 @@ def _rice_exact(residual: jnp.ndarray, n: int, max_porder: int):
 # ---------------------------------------------------------------------------
 
 # ---------------------------------------------------------------------------
+# SVR coefficient refinement in df64 (parity: lpc.c:988-1163 via dsp/svr.py)
+# ---------------------------------------------------------------------------
+# Per margin in the preset list: residual filter -> soft threshold -> solve
+# a coefficient delta against the cached Cholesky factorization of the
+# (ridged) signal covariance; keep the coefficients minimizing the estimated
+# recursive-Rice code length. All sums are value-continuous (df64 pairwise
+# vs the host's sequential f64 is within ~2^-44 relative); the DISCRETE
+# outcomes — the two objective comparisons per iteration, the 1e-8
+# convergence epsilon, the k2 truncation inside the code-length estimate,
+# and Cholesky pivot positivity — carry margin flags.
+
+_SVR_OBJ_EPSILON = 1e-8          # the host's convergence epsilon
+_EPS_SVR_DMAG = 1e-9             # obj-margin scale per unit of |delta|
+_EPS_SVR_OBJ = 1e-10             # flag margin on objective comparisons
+_EPS_SVR_PIVOT = np.float32(2.0 ** -36)
+_SVR_FLT_MAX = 3.402823466e38
+_SVR_LOG_OPTX = 0.5127629514     # truncated literal, as in svr.py/lpc.c
+
+
+def _dd_cumsum(x, axis=1):
+    return jax.lax.associative_scan(dd.add, x, axis=axis)
+
+
+def _svr_cov(d, n: int, M: int, orders):
+    """cov[v,i,j] = sum_{s < n-o_v} d[s+i]*d[s+j] via per-lag prefix sums of
+    d[t]*d[t+l]: cov = P_l[n-o-1+i] - P_l[i-1], l = j-i."""
+    V = d[0].shape[0]
+    pad = (jnp.pad(d[0], ((0, 0), (0, M))), jnp.pad(d[1], ((0, 0), (0, M))))
+    iidx = jnp.arange(M, dtype=jnp.int32)[None, :]
+    hi_pos = jnp.clip(n - orders[:, None] - 1 + iidx, 0, n + M - 1)
+    lo_pos = iidx - 1                                     # -1 -> no term
+
+    def lag_diag(l, carry):
+        dh, dl = carry
+        sh = jax.lax.dynamic_slice_in_dim(pad[0], l, n, axis=1)
+        sl = jax.lax.dynamic_slice_in_dim(pad[1], l, n, axis=1)
+        prod = dd.mul(d, (sh, sl))
+        P = _dd_cumsum(prod, axis=1)
+        ah = jnp.take_along_axis(P[0], hi_pos, axis=1)
+        al = jnp.take_along_axis(P[1], hi_pos, axis=1)
+        bh = jnp.take_along_axis(P[0], jnp.maximum(lo_pos, 0), axis=1)
+        bl = jnp.take_along_axis(P[1], jnp.maximum(lo_pos, 0), axis=1)
+        none = lo_pos < 0
+        bh = jnp.where(none, 0.0, bh)
+        bl = jnp.where(none, 0.0, bl)
+        v = dd.sub((ah, al), (bh, bl))                    # (V, M) diagonal l
+        dh = jax.lax.dynamic_update_slice_in_dim(dh, v[0][None], l, axis=0)
+        dl = jax.lax.dynamic_update_slice_in_dim(dl, v[1][None], l, axis=0)
+        return dh, dl
+
+    diag0 = (jnp.zeros((M, V, M), jnp.float32),
+             jnp.zeros((M, V, M), jnp.float32))
+    dh, dl = jax.lax.fori_loop(0, M, lag_diag, diag0)
+    # Assemble the symmetric matrix from its diagonals.
+    i = jnp.arange(M)[:, None]
+    j = jnp.arange(M)[None, :]
+    l = jnp.abs(j - i)                                    # (M, M)
+    r = jnp.minimum(i, j)
+    covh = dh[l, :, r]                                    # (M, M, V)
+    covl = dl[l, :, r]
+    return (jnp.transpose(covh, (2, 0, 1)), jnp.transpose(covl, (2, 0, 1)))
+
+
+def _cholesky_dd(A, M: int, orders, eps_scale):
+    """Batched df64 Cholesky of the leading o x o blocks (rows/cols >= o are
+    replaced by the identity). Returns (L df (V,M,M) with columns scaled by
+    inv_diag, invd df (V,M), singular (V,), risky (V,))."""
+    V = A[0].shape[0]
+    i_ = jnp.arange(M)
+    act = (i_[None, :, None] < orders[:, None, None]) \
+        & (i_[None, None, :] < orders[:, None, None])
+    eye = jnp.eye(M, dtype=jnp.float32)[None]
+    Ah = jnp.where(act, A[0], eye)
+    Al = jnp.where(act, A[1], 0.0)
+
+    def step(i, carry):
+        Lh, Ll, idh, idl, sing, risky = carry
+        rowi = (jax.lax.dynamic_slice_in_dim(Lh, i, 1, axis=1)[:, 0],
+                jax.lax.dynamic_slice_in_dim(Ll, i, 1, axis=1)[:, 0])
+        kmask = (jnp.arange(M) < i)[None, :]
+        ri = (jnp.where(kmask, rowi[0], 0.0), jnp.where(kmask, rowi[1], 0.0))
+        # s = A[i,i] - sum_k L[i,k]^2
+        a_ii = (jax.lax.dynamic_slice(Ah, (0, i, i), (Lh.shape[0], 1, 1))
+                [:, 0, 0],
+                jax.lax.dynamic_slice(Al, (0, i, i), (Lh.shape[0], 1, 1))
+                [:, 0, 0])
+        s = dd.sub(a_ii, dd.sum_pairwise(dd.mul(ri, ri), axis=1))
+        sv = s[0] + s[1]
+        sing = sing | (sv <= 0)
+        risky = risky | (jnp.abs(sv) < eps_scale)
+        ssafe = (jnp.where(sv <= 0, 1.0, s[0]), jnp.where(sv <= 0, 0.0,
+                                                          s[1]))
+        inv = dd.div(_dd_const(1.0), dd.sqrt(ssafe))
+        # L[j,i] = (A[j,i] - sum_k L[j,k] L[i,k]) * inv   (for j > i)
+        colA = (jax.lax.dynamic_slice(Ah, (0, 0, i),
+                                      (Lh.shape[0], M, 1))[:, :, 0],
+                jax.lax.dynamic_slice(Al, (0, 0, i),
+                                      (Lh.shape[0], M, 1))[:, :, 0])
+        dot = dd.sum_pairwise(
+            dd.mul((jnp.where(kmask[:, None, :], Lh, 0.0),
+                    jnp.where(kmask[:, None, :], Ll, 0.0)),
+                   (ri[0][:, None, :], ri[1][:, None, :])), axis=2)
+        col = dd.mul(dd.sub(colA, dot), (inv[0][:, None], inv[1][:, None]))
+        jmask = (jnp.arange(M) > i)[None, :]
+        newc = (jnp.where(jmask, col[0], 0.0), jnp.where(jmask, col[1], 0.0))
+        Lh = jax.lax.dynamic_update_slice(Lh, newc[0][:, :, None], (0, 0, i))
+        Ll = jax.lax.dynamic_update_slice(Ll, newc[1][:, :, None], (0, 0, i))
+        idh = jax.lax.dynamic_update_slice_in_dim(idh, inv[0][:, None], i,
+                                                  axis=1)
+        idl = jax.lax.dynamic_update_slice_in_dim(idl, inv[1][:, None], i,
+                                                  axis=1)
+        return Lh, Ll, idh, idl, sing, risky
+
+    z = jnp.zeros((V, M, M), jnp.float32)
+    zi = jnp.zeros((V, M), jnp.float32)
+    Lh, Ll, idh, idl, sing, risky = jax.lax.fori_loop(
+        0, M, step, (z, z.copy(), zi, zi.copy(), jnp.zeros(V, bool),
+                     jnp.zeros(V, bool)))
+    return (Lh, Ll), (idh, idl), sing, risky
+
+
+def _cholesky_solve_dd(L, invd, b, M: int):
+    """x = solve via forward/back substitution (host cholesky_solve parity:
+    x[i] = (b[i] - sum_{j<i} L[i,j] x[j]) * invd[i], then the transpose)."""
+    V = b[0].shape[0]
+
+    def fwd(i, x):
+        lrow = (jax.lax.dynamic_slice(L[0], (0, i, 0), (V, 1, M))[:, 0],
+                jax.lax.dynamic_slice(L[1], (0, i, 0), (V, 1, M))[:, 0])
+        kmask = (jnp.arange(M) < i)[None, :]
+        s = dd.sum_pairwise(dd.mul(
+            (jnp.where(kmask, lrow[0], 0.0), jnp.where(kmask, lrow[1], 0.0)),
+            x), axis=1)
+        bi = (jax.lax.dynamic_slice_in_dim(b[0], i, 1, axis=1)[:, 0],
+              jax.lax.dynamic_slice_in_dim(b[1], i, 1, axis=1)[:, 0])
+        ii = (jax.lax.dynamic_slice_in_dim(invd[0], i, 1, axis=1)[:, 0],
+              jax.lax.dynamic_slice_in_dim(invd[1], i, 1, axis=1)[:, 0])
+        xi = dd.mul(dd.sub(bi, s), ii)
+        return (jax.lax.dynamic_update_slice_in_dim(x[0], xi[0][:, None], i,
+                                                    axis=1),
+                jax.lax.dynamic_update_slice_in_dim(x[1], xi[1][:, None], i,
+                                                    axis=1))
+
+    x = jax.lax.fori_loop(0, M, fwd,
+                          (jnp.zeros_like(b[0]), jnp.zeros_like(b[1])))
+
+    def bwd(t, x):
+        i = M - 1 - t
+        lcol = (jax.lax.dynamic_slice(L[0], (0, 0, i), (V, M, 1))[:, :, 0],
+                jax.lax.dynamic_slice(L[1], (0, 0, i), (V, M, 1))[:, :, 0])
+        jmask = (jnp.arange(M) > i)[None, :]
+        s = dd.sum_pairwise(dd.mul(
+            (jnp.where(jmask, lcol[0], 0.0), jnp.where(jmask, lcol[1], 0.0)),
+            x), axis=1)
+        xi0 = (jax.lax.dynamic_slice_in_dim(x[0], i, 1, axis=1)[:, 0],
+               jax.lax.dynamic_slice_in_dim(x[1], i, 1, axis=1)[:, 0])
+        ii = (jax.lax.dynamic_slice_in_dim(invd[0], i, 1, axis=1)[:, 0],
+              jax.lax.dynamic_slice_in_dim(invd[1], i, 1, axis=1)[:, 0])
+        xi = dd.mul(dd.sub(xi0, s), ii)
+        return (jax.lax.dynamic_update_slice_in_dim(x[0], xi[0][:, None], i,
+                                                    axis=1),
+                jax.lax.dynamic_update_slice_in_dim(x[1], xi[1][:, None], i,
+                                                    axis=1))
+
+    return jax.lax.fori_loop(0, M, bwd, x)
+
+
+def _rgr_code_length_dd(mean_abs, bps: int):
+    """df64 twin of svr.py _rgr_mean_code_length; returns (obj df, risky)."""
+    intmean = dd.mul_pow2(mean_abs, float(1 << bps))
+    one = _dd_const(1.0)
+    rho = dd.div(one, dd.add(one, intmean))
+    om = dd.sub(one, rho)
+    omv = om[0] + om[1]
+    bad = omv <= 0                        # om==0: host k2 = 0 via -inf chain
+    om_s = (jnp.where(bad, 0.5, om[0]), jnp.where(bad, 0.0, om[1]))
+    denom = dd.log(om_s)
+    lv = dd.div(_dd_const(np.log(_SVR_LOG_OPTX)), denom)
+    lvv = lv[0] + lv[1]
+    lv_s = (jnp.where(lvv <= 0, 1.0, lv[0]), jnp.where(lvv <= 0, 0.0, lv[1]))
+    log2v = dd.mul(dd.log(lv_s), _dd_const(_INV_LOGE2))
+    l2 = jnp.where(bad | (lvv <= 0), 0.0, log2v[0] + log2v[1])
+    k2 = jnp.maximum(jnp.floor(l2), 0.0).astype(jnp.int32)
+    risky = (~bad) & (lvv > 0) & (_dist_to_int(log2v) < 1e-9) & (l2 > 0)
+    k1 = k2 + 1
+    # pow(om, 2^k) by repeated squaring (k <= 31).
+    def powk(k):
+        def body(b, acc):
+            sq = dd.mul(acc, acc)
+            take = b < k
+            return (jnp.where(take, sq[0], acc[0]),
+                    jnp.where(take, sq[1], acc[1]))
+        return jax.lax.fori_loop(0, 31, body, om)
+    k1f = powk(k1)
+    k2f = powk(k2)
+    k1f = (jnp.where(bad, 0.0, k1f[0]), jnp.where(bad, 0.0, k1f[1]))
+    k2f = (jnp.where(bad, 0.0, k2f[0]), jnp.where(bad, 0.0, k2f[1]))
+    k1dd = (k1.astype(jnp.float32) + 1.0, jnp.zeros_like(l2))
+    t1 = dd.mul(k1dd, dd.sub(one, k1f))
+    denom2 = dd.sub(one, k2f)
+    d2v = denom2[0] + denom2[1]
+    denom2 = (jnp.where(d2v == 0, 1.0, denom2[0]),
+              jnp.where(d2v == 0, 0.0, denom2[1]))
+    inner = dd.add((k2.astype(jnp.float32) + 1.0, jnp.zeros_like(l2)),
+                   dd.div(one, denom2))
+    t2 = dd.mul(inner, k1f)
+    return dd.add(t1, t2), risky
+
+
+def _svr_exact(work, coefs, orders, n: int, bps: int, M: int,
+               max_iter: int, margins, ridge: float):
+    """df64 SVR refinement of the Levinson coefficients. work: (V, n) int32
+    (post-preemphasis/LTP); coefs df (V, M); orders (V,). Returns
+    (refined coefs df, risky (V,))."""
+    V = work.shape[0]
+    d = dd.mul_pow2(dd.from_int32(work), 2.0 ** (-(bps - 1)))
+    cov = _svr_cov(d, n, M, orders)
+    diag = jnp.eye(M, dtype=bool)[None]
+    rh = dd.mul((cov[0], cov[1]), _dd_const(1.0 + ridge))
+    cov = (jnp.where(diag, rh[0], cov[0]), jnp.where(diag, rh[1], cov[1]))
+    eps_piv = jnp.maximum(jnp.abs(cov[0][:, 0, 0]), 1e-30) * _EPS_SVR_PIVOT
+    L, invd, sing, risky = _cholesky_dd(cov, M, orders, eps_piv)
+
+    s_ = jnp.arange(n, dtype=jnp.int32)[None, :]
+    smask = s_ >= orders[:, None]
+    act_i = (jnp.arange(M)[None, :] < orders[:, None])
+    act3 = act_i[:, None, :] & act_i[:, :, None]
+    pad = (jnp.pad(d[0], ((0, 0), (M, 0))), jnp.pad(d[1], ((0, 0), (M, 0))))
+
+    def residual_of(cur):
+        # resid[s] = d[s] + sum_i cur[i] * d[s-i-1], s >= o (else d[s]).
+        def tap(i, acc):
+            sh = jax.lax.dynamic_slice_in_dim(pad[0], M - 1 - i, n, axis=1)
+            sl = jax.lax.dynamic_slice_in_dim(pad[1], M - 1 - i, n, axis=1)
+            ci = (jax.lax.dynamic_slice_in_dim(cur[0], i, 1, axis=1),
+                  jax.lax.dynamic_slice_in_dim(cur[1], i, 1, axis=1))
+            term = dd.mul((sh, sl), ci)
+            gate = (i < orders)[:, None]
+            return (acc[0] + jnp.where(gate, term[0], 0.0),
+                    acc[1] + jnp.where(gate, term[1], 0.0))
+        acc = jax.lax.fori_loop(0, M, tap,
+                                (jnp.zeros((V, n), jnp.float32),
+                                 jnp.zeros((V, n), jnp.float32)))
+        r = dd.add(d, acc)
+        return (jnp.where(smask, r[0], d[0]), jnp.where(smask, r[1], d[1]))
+
+    def rvec_of(th):
+        # rvec[i] = sum_{s>=o} th[s] * d[s-1-i]
+        def tap(i, acc):
+            sh = jax.lax.dynamic_slice_in_dim(pad[0], M - 1 - i, n, axis=1)
+            sl = jax.lax.dynamic_slice_in_dim(pad[1], M - 1 - i, n, axis=1)
+            v = dd.sum_pairwise(dd.mul(th, (sh, sl)), axis=1)
+            return (jax.lax.dynamic_update_slice_in_dim(
+                        acc[0], v[0][:, None], i, axis=1),
+                    jax.lax.dynamic_update_slice_in_dim(
+                        acc[1], v[1][:, None], i, axis=1))
+        return jax.lax.fori_loop(0, M, tap,
+                                 (jnp.zeros((V, M), jnp.float32),
+                                  jnp.zeros((V, M), jnp.float32)))
+
+    init = coefs
+    inv_n = _dd_const(1.0 / n)  # host divides by n in f64: mabse / n
+    marg = jnp.asarray(np.asarray(margins, np.float64))
+    mh, ml = dd.split_f64(np.asarray(margins, np.float64))
+    mh = jnp.asarray(mh)
+    ml = jnp.asarray(ml)
+    nm = len(margins)
+
+    def outer(k, carry):
+        (cur, prev, alive, best, min_obj, dmax_c, risky) = carry
+        it = jnp.remainder(k, max_iter)
+        mi = k // max_iter
+        # Margin start: reset the iteration state (host: cur[:] = init).
+        fresh = it == 0
+        cur = (jnp.where(fresh, init[0], cur[0]),
+               jnp.where(fresh, init[1], cur[1]))
+        prev = (jnp.where(fresh, _SVR_FLT_MAX, prev[0]),
+                jnp.where(fresh, 0.0, prev[1]))
+        alive = alive | fresh
+        margin = (mh[mi], ml[mi])
+
+        resid = residual_of(cur)
+        rv = resid[0] + resid[1]
+        ar = dd.abs_(resid)
+        ar = (jnp.where(smask, ar[0], 0.0), jnp.where(smask, ar[1], 0.0))
+        mabse = dd.sum_pairwise(ar, axis=1)
+        # soft threshold (value-continuous; sign(0)=0 like np.sign)
+        thr = dd.sub(ar, margin)
+        pos = (thr[0] + thr[1]) > 0
+        sgn = jnp.sign(rv)
+        th = (jnp.where(pos & smask, thr[0] * sgn, 0.0),
+              jnp.where(pos & smask, thr[1] * sgn, 0.0))
+        rvec = rvec_of(th)
+        rvec = (jnp.where(act_i, rvec[0], 0.0),
+                jnp.where(act_i, rvec[1], 0.0))
+        # mean code length of mabse / n  (host: f64 division)
+        obj, r_obj = _rgr_code_length_dd(dd.mul(mabse, inv_n), 16)
+        risky = risky | (alive & r_obj)
+        delta = _cholesky_solve_dd(L, invd, rvec, M)
+        # One step of iterative refinement: squashes the solve's
+        # conditioning-amplified df64 error down to ~representation level,
+        # so the dev-vs-host difference is dominated by the HOST's own f64
+        # rounding (covered by the inflated quantize kappa).
+        mv = dd.sum_pairwise(
+            dd.mul((jnp.where(act3, cov[0], 0.0),
+                    jnp.where(act3, cov[1], 0.0)),
+                   (delta[0][:, None, :], delta[1][:, None, :])),
+            axis=2)
+        resd = dd.sub(rvec, mv)
+        corr = _cholesky_solve_dd(L, invd, resd, M)
+        delta = dd.add(delta, corr)
+        # Conditioning-aware compare margin: the solve amplifies df64
+        # rounding roughly in proportion to |delta|, and the objective
+        # inherits that through the residual sums.
+        dmag = jnp.max(jnp.where(act_i, jnp.abs(delta[0]), 0.0), axis=1)
+        dmax = jnp.maximum(dmax_c, dmag)
+        eps_obj = _EPS_SVR_OBJ + dmax * _EPS_SVR_DMAG
+        # ALL objective comparisons in full df64 (an f32 collapse would be
+        # ~2^-20-grained: decisions below that flip invisibly).
+        dmin = dd.sub(obj, min_obj)
+        dmin_mag = jnp.abs(dmin[0] + dmin[1]) + jnp.abs(dmin[1])
+        tie_min = (dmin[0] == 0) & (dmin[1] == 0)
+        adopt = alive & dd.lt(obj, min_obj)
+        # An EXACT tie is not risky: both pipelines compute the same
+        # deterministic value twice (strict < is false in each); only a
+        # near-tie with a genuine difference can flip.
+        risky = risky | (alive & ~tie_min & (dmin_mag < eps_obj))
+        best = (jnp.where(adopt[:, None], cur[0], best[0]),
+                jnp.where(adopt[:, None], cur[1], best[1]))
+        min_obj = (jnp.where(adopt, obj[0], min_obj[0]),
+                   jnp.where(adopt, obj[1], min_obj[1]))
+        dprev = dd.sub(prev, obj)
+        tie_prev = (dprev[0] == 0) & (dprev[1] == 0)
+        dobj = dd.abs_(dprev)
+        dobj_mag = dobj[0] + dobj[1]
+        eps_dd = _dd_const(_SVR_OBJ_EPSILON)
+        a_dec = dd.lt(prev, obj)
+        b_dec = dd.lt(dobj, (jnp.broadcast_to(eps_dd[0], dobj[0].shape),
+                             jnp.broadcast_to(eps_dd[1], dobj[1].shape)))
+        stop = a_dec | b_dec
+        # stop = A | B. Flag only where the OUTCOME is uncertain: B on its
+        # boundary, or A ambiguous while B is not certainly true.
+        b_unc = jnp.abs(dobj_mag - _SVR_OBJ_EPSILON) < eps_obj
+        a_unc = ~tie_prev & (dobj_mag < eps_obj)
+        b_true = dobj_mag < _SVR_OBJ_EPSILON - eps_obj
+        risky = risky | (alive & (b_unc | (a_unc & ~b_true)))
+        step_c = dd.add(cur, delta)
+        live2 = (alive & ~stop)[:, None]
+        cur = (jnp.where(live2 & act_i, step_c[0], cur[0]),
+               jnp.where(live2 & act_i, step_c[1], cur[1]))
+        prev = (jnp.where(alive, obj[0], prev[0]),
+                jnp.where(alive, obj[1], prev[1]))
+        alive = alive & ~stop
+        return (cur, prev, alive, best, min_obj, dmax, risky)
+
+    fmax = jnp.full(V, _SVR_FLT_MAX, jnp.float32)
+    zv = jnp.zeros(V, jnp.float32)
+    carry = (init, (fmax, zv), jnp.zeros(V, bool), coefs, (fmax, zv),
+             jnp.zeros(V, jnp.float32), risky)
+    (cur, prev, alive, best, min_obj, dmax_c, risky) = jax.lax.fori_loop(
+        0, nm * max_iter, outer, carry)
+    del marg
+    # Singular covariance: the host returns zero coefficients.
+    on = (orders > 0) & ~sing
+    out = (jnp.where(on[:, None] & act_i, best[0], 0.0),
+           jnp.where(on[:, None] & act_i, best[1], 0.0))
+    zero_case = (orders > 0) & sing
+    out = (jnp.where(zero_case[:, None], 0.0, out[0]),
+           jnp.where(zero_case[:, None], 0.0, out[1]))
+    return out, risky, dmax_c
+
+
+# ---------------------------------------------------------------------------
 # Long-term (pitch) prediction in df64 (parity: lpc.c:1473-1649)
 # ---------------------------------------------------------------------------
 
@@ -774,7 +1147,8 @@ def _ltp_predict_dev(work: jnp.ndarray, coefs_rev: jnp.ndarray,
 
 def _analyze_core_exact(sig: jnp.ndarray, *, n: int, bps: int,
                         max_params: int, max_fixed: bool, fft_size: int,
-                        max_porder: int, ltp_order: int = 0):
+                        max_porder: int, ltp_order: int = 0,
+                        svr_iter: int = 0, margins: tuple = ()):
     work, pre_coef, risky = _preemphasis_exact(sig)
     pre_prev = sig[:, 0]
     V = sig.shape[0]
@@ -799,6 +1173,16 @@ def _analyze_core_exact(sig: jnp.ndarray, *, n: int, bps: int,
         orders, r_ord = _select_order_exact(evc, n, bps, max_params,
                                             max_fixed, kappa)
         _, coefs, _, _, _ = _levinson_dd(ac, max_params, orders)
+        if svr_iter > 0:
+            coefs, r_svr, svr_dmax = _svr_exact(
+                work, coefs, orders, n, bps, max_params, svr_iter, margins,
+                LPC_RIDGE_REGULARIZATION_PARAMETER)
+            risky = risky | r_svr
+            # SVR iteration chaos: dev-vs-host coef divergence measures
+            # ~|delta|max * 2^-34 (conditioning-amplified, compounded over
+            # iterations); widen the quantize boundary margin accordingly
+            # (kappa enters eps_k as 2*qmax*kappa*2^-40 quantized units).
+            kappa = jnp.maximum(kappa, svr_dmax * 512.0)
         intc, rshifts, r_q = _quantize_exact(
             coefs, orders, LPC_COEFFICIENT_BITWIDTH,
             1 << RSHIFT_LPC_COEFFICIENT_BITWIDTH, kappa)
@@ -822,7 +1206,8 @@ def _analyze_core_exact(sig: jnp.ndarray, *, n: int, bps: int,
 
 
 def _variant_analysis(blocks, lshift, *, n, bps, max_params, max_fixed,
-                      fft_size, max_porder, C, ltp_order=0):
+                      fft_size, max_porder, C, ltp_order=0, svr_iter=0,
+                      margins=()):
     """Shared trace: stack stereo variants on device, run the exact core."""
     work = blocks.astype(jnp.int32) >> lshift
     parts = []
@@ -836,7 +1221,8 @@ def _variant_analysis(blocks, lshift, *, n, bps, max_params, max_fixed,
         out = _analyze_core_exact(sig, n=n, bps=bps, max_params=max_params,
                                   max_fixed=max_fixed, fft_size=fft_size,
                                   max_porder=max_porder,
-                                  ltp_order=ltp_order)
+                                  ltp_order=ltp_order, svr_iter=svr_iter,
+                                  margins=margins)
     u = _zigzag(out["residual"])
     small = {k: out[k] for k in ("pre_prev", "pre_coef", "orders", "rshifts",
                                  "coefs", "code_type", "porder",
@@ -847,10 +1233,11 @@ def _variant_analysis(blocks, lshift, *, n, bps, max_params, max_fixed,
 
 @partial(jax.jit, static_argnames=("n", "bps", "max_params", "max_fixed",
                                    "fft_size", "max_porder", "C",
-                                   "ltp_order"))
+                                   "ltp_order", "svr_iter", "margins"))
 def analyze_blocks_exact(blocks: jnp.ndarray, lshift, *, n: int, bps: int,
                          max_params: int, max_fixed: bool, fft_size: int,
-                         max_porder: int, C: int, ltp_order: int = 0):
+                         max_porder: int, C: int, ltp_order: int = 0,
+                         svr_iter: int = 0, margins: tuple = ()):
     """Exact-decision variant analysis (no SVR; the encoder routes that
     to the host until its exact device pipeline lands).
 
@@ -861,7 +1248,7 @@ def analyze_blocks_exact(blocks: jnp.ndarray, lshift, *, n: int, bps: int,
     small, u, out = _variant_analysis(
         blocks, lshift, n=n, bps=bps, max_params=max_params,
         max_fixed=max_fixed, fft_size=fft_size, max_porder=max_porder, C=C,
-        ltp_order=ltp_order)
+        ltp_order=ltp_order, svr_iter=svr_iter, margins=margins)
     big = dict(u=u, code_type=out["code_type"], porder=out["porder"],
                ks=out["ks"])
     return small, big
@@ -925,11 +1312,13 @@ def _account_bits_dev(sec_bits, orders, coefs, bps: int):
 
 @partial(jax.jit, static_argnames=("n", "bps", "max_params", "max_fixed",
                                    "fft_size", "max_porder", "C", "W",
-                                   "impl", "ltp_order"))
+                                   "impl", "ltp_order", "svr_iter",
+                                   "margins"))
 def encode_blocks_exact(blocks: jnp.ndarray, lshift, *, n: int, bps: int,
                         max_params: int, max_fixed: bool, fft_size: int,
                         max_porder: int, C: int, W: int,
-                        impl: str = "scatter", ltp_order: int = 0):
+                        impl: str = "scatter", ltp_order: int = 0,
+                        svr_iter: int = 0, margins: tuple = ()):
     """Fused exact encode of one equal-size block group.
 
     Returns (small, flat): `small` holds the per-variant parameters plus the
@@ -945,7 +1334,7 @@ def encode_blocks_exact(blocks: jnp.ndarray, lshift, *, n: int, bps: int,
     small, u, out = _variant_analysis(
         blocks, lshift, n=n, bps=bps, max_params=max_params,
         max_fixed=max_fixed, fft_size=fft_size, max_porder=max_porder, C=C,
-        ltp_order=ltp_order)
+        ltp_order=ltp_order, svr_iter=svr_iter, margins=margins)
     nvar = C + 2 if C >= 2 else 1
     Bp = blocks.shape[0]
     maxp = max(max_params, 1)

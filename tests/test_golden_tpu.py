@@ -41,6 +41,13 @@ CASES = [
     ("ltp_p4_P1_stereo", "pitchy", 2, 16, dict(preset=4, ltp_order=1)),
     ("ltp_vblock_P3_V1", "pitchy", 2, 16, dict(preset=2, ltp_order=3,
                                                variable_divisions=1)),
+    # SVR on device: df64 covariance/Cholesky/margin-iteration refinement
+    # with objective-comparison and quantize-conditioning flags
+    # (kernels/exact.py _svr_exact).
+    ("svr_p2_s2", "chirp", 2, 16, dict(preset=2, svr_iterations=2)),
+    ("svr_p4_s1", "white_noise", 2, 16, dict(preset=4, svr_iterations=1)),
+    ("svr_ltp_s2_P1", "pitchy", 1, 16, dict(preset=2, svr_iterations=2,
+                                            ltp_order=1)),
 ]
 
 
@@ -63,26 +70,21 @@ def test_tpu_backend_deterministic():
 
 
 def test_fallbacks_are_counted():
-    """No silent capability holes: SVR configs must report the host routing,
-    and LTP (now device-supported) must actually run on device."""
+    """No silent capability holes: every CLI-reachable config now has a
+    device pipeline (LTP and SVR included) and the per-path block counts
+    must account for every COMPRESS block."""
     from srla_tpu.encoder import EncodeParameter, SRLAEncoder
-    p = EncodeParameter(num_channels=1, bits_per_sample=16,
-                        sampling_rate=44100, min_num_samples_per_block=4096,
-                        max_num_samples_per_block=4096,
-                        num_lookahead_samples=4096, preset=4,
-                        num_svr_filter_learning_iteration=2)
-    enc = SRLAEncoder(p, backend="tpu")
-    assert enc.stats["device_unsupported_config"]
     pcm = signals.ALL["pitchy"](N, 1, 16)
-    enc.encode_whole(pcm)
-    assert enc.stats["host_blocks"] > 0
-    assert enc.stats["device_blocks"] == 0
-
-    p2 = EncodeParameter(num_channels=1, bits_per_sample=16,
-                         sampling_rate=44100, min_num_samples_per_block=4096,
-                         max_num_samples_per_block=4096,
-                         num_lookahead_samples=4096, preset=4, ltp_order=3)
-    enc2 = SRLAEncoder(p2, backend="tpu")
-    assert not enc2.stats["device_unsupported_config"]
-    enc2.encode_whole(pcm)
-    assert enc2.stats["device_blocks"] > 0
+    for extra in (dict(ltp_order=3), dict(num_svr_filter_learning_iteration=2),
+                  dict(ltp_order=1, num_svr_filter_learning_iteration=1)):
+        p = EncodeParameter(num_channels=1, bits_per_sample=16,
+                            sampling_rate=44100,
+                            min_num_samples_per_block=4096,
+                            max_num_samples_per_block=4096,
+                            num_lookahead_samples=4096, preset=4, **extra)
+        enc = SRLAEncoder(p, backend="tpu")
+        assert not enc.stats["device_unsupported_config"]
+        enc.encode_whole(pcm)
+        assert enc.stats["device_blocks"] > 0
+        assert (enc.stats["device_blocks"] + enc.stats["host_blocks"]
+                + enc.stats["repaired_blocks"]) >= N // 4096
