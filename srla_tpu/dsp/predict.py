@@ -120,27 +120,28 @@ def ltp_predict(data: np.ndarray, coefs: np.ndarray, order: int,
     for s >= period + order//2 + 1.
     """
     B, n = data.shape
+    from .. import native_decoder
+    if native_decoder.available():
+        return native_decoder.ltp_predict_batch(data, coefs, order, periods,
+                                                rshift)
+    # Vectorized fallback: the prediction source is the ORIGINAL data (no
+    # recurrence), so all rows and samples compute at once via clipped
+    # gathers; rows with period 0 and the first delay+1 samples pass through.
     half_order = order >> 1
     x = data.astype(np.int64)
-    out = data.astype(np.int32).copy()
     half = np.int64(1 << (rshift - 1))
-    idx = np.arange(n)
+    delay = periods.astype(np.int64)[:, None] + half_order
+    s = np.arange(n, dtype=np.int64)[None, :]
+    acc = np.full((B, n), half, dtype=np.int64)
+    for i in range(order):
+        idx = np.clip(s - delay + i, 0, max(n - 1, 0))
+        acc += (coefs[:, i].astype(np.int64)[:, None]
+                * np.take_along_axis(x, idx, axis=1))
     with np.errstate(over="ignore"):
-        for b in range(B):
-            per = int(periods[b])
-            if per == 0:
-                continue
-            delay = per + half_order
-            start = delay + 1
-            if start >= n:
-                continue
-            s = idx[start:]
-            acc = np.full(n - start, half, dtype=np.int64)
-            for i in range(order):
-                acc += coefs[b, i].astype(np.int64) * x[b, s - delay + i]
-            pred = acc.astype(np.int32) >> rshift
-            out[b, start:] = (out[b, start:] - pred).astype(np.int32)
-    return out
+        pred = acc.astype(np.int32) >> rshift
+        out = (data.astype(np.int32) - pred).astype(np.int32)
+    mask = (periods[:, None] > 0) & (s >= delay + 1)
+    return np.where(mask, out, data.astype(np.int32))
 
 
 def ltp_synthesize(data: np.ndarray, coefs: np.ndarray, orders: np.ndarray,

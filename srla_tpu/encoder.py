@@ -114,8 +114,10 @@ class SRLAEncoder:
         #  - exact (default): df64 analysis + boundary flagging
         #    (kernels/exact.py) — decisions provably equal the f64 host
         #    oracle, output byte-identical to the reference and
-        #    deterministic. LTP/SVR don't have exact device pipelines yet,
-        #    so those configs run on the host (logged in self.stats).
+        #    deterministic. Covers the full flag set on device, including
+        #    LTP (-P) and SVR refinement (kernels/exact.py _ltp_exact /
+        #    _svr_exact, exercised by tests/test_golden_tpu.py); remaining
+        #    host routing (odd tails, tiny groups) is counted in self.stats.
         #  - approx (SRLA_TPU_APPROX=1): the f32 fast path
         #    (kernels/encode.py) — lossless but not reference-byte-exact and
         #    not run-reproducible; covers LTP on device.
@@ -213,16 +215,22 @@ class SRLAEncoder:
                     state = ns
             acbuf = np.zeros((B, LTP_MAX_PERIOD + 3))
             acbuf[:, :max_lag] = ac
-            for b in range(B):
-                coef, period = calculate_ltp_coefficients(
-                    acbuf[b], ltp_order, LTP_MIN_PERIOD, LTP_MAX_PERIOD,
+            from . import native_decoder as _ltp_nd
+            if _ltp_nd.available():
+                ltp_period, ltp_coefs = _ltp_nd.ltp_analyze_batch(
+                    acbuf, ltp_order, LTP_MIN_PERIOD, LTP_MAX_PERIOD,
                     LPC_RIDGE_REGULARIZATION_PARAMETER)
-                if period > 0:
-                    q = np.where(coef >= 0, np.floor(coef * 32.0 + 0.5),
-                                 -np.floor(-coef * 32.0 + 0.5))
-                    q = np.clip(q, -32, 31).astype(np.int32)
-                    ltp_coefs[b] = q[::-1]
-                    ltp_period[b] = period
+            else:
+                for b in range(B):
+                    coef, period = calculate_ltp_coefficients(
+                        acbuf[b], ltp_order, LTP_MIN_PERIOD, LTP_MAX_PERIOD,
+                        LPC_RIDGE_REGULARIZATION_PARAMETER)
+                    if period > 0:
+                        q = np.where(coef >= 0, np.floor(coef * 32.0 + 0.5),
+                                     -np.floor(-coef * 32.0 + 0.5))
+                        q = np.clip(q, -32, 31).astype(np.int32)
+                        ltp_coefs[b] = q[::-1]
+                        ltp_period[b] = period
             if (ltp_period > 0).any():
                 filtered = ltp_predict(work, ltp_coefs, ltp_order, ltp_period,
                                        LTP_COEFFICIENT_BITWIDTH - 1)
@@ -635,7 +643,29 @@ class SRLAEncoder:
             out.extend(self._encode_fixed(pcm, offset_lshift))
         else:
             out.extend(self._encode_variable(pcm, offset_lshift))
+        self._check_repair_rate()
         return b"".join(out)
+
+    # Boundary-flag (host repair) rate above which the encode is still
+    # byte-exact but silently degrades toward host speed; make that mode
+    # visible to operators instead of silent.
+    _REPAIR_WARN_RATIO = 0.05
+
+    def _check_repair_rate(self) -> None:
+        dev = self.stats["device_blocks"] + self.stats["repaired_blocks"]
+        rep = self.stats["repaired_blocks"]
+        if dev == 0:
+            return
+        ratio = rep / dev
+        self.stats["repair_ratio"] = round(ratio, 4)
+        if ratio > self._REPAIR_WARN_RATIO:
+            import warnings
+            warnings.warn(
+                f"srla_tpu: {rep}/{dev} device-analyzed blocks "
+                f"({100 * ratio:.1f}%) hit df64 decision boundaries and were "
+                "re-derived on the host; output is still byte-exact but "
+                "encode throughput degrades toward host speed on this input.",
+                RuntimeWarning, stacklevel=3)
 
     # -- fixed block path ------------------------------------------------ #
 

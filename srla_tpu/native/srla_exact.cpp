@@ -396,6 +396,163 @@ void srla_lpc_predict_batch(const int32_t *data, long B, int n,
     }
 }
 
+// Batched long-term (pitch) prediction. data (B, n) int32 (the pre-emphasized
+// working signal); coefs (B, order) int32 REVERSED (coef[i] multiplies
+// data[s - period - order/2 + i]); periods (B,) int32 (0 = LTP disabled for
+// that row). The prediction source is the ORIGINAL data (no recurrence), so
+// rows are independent and samples vectorize freely.
+// Parity: SRLALTP_Predict, srla_encoder/src/srla_lpc_predict.c:267-294.
+void srla_ltp_predict_batch(const int32_t *data, long B, int n,
+                            const int32_t *coefs, int order,
+                            const int32_t *periods, int rshift,
+                            int32_t *out) {
+    const int64_t half = (int64_t)1 << (rshift - 1);
+    const int half_order = order >> 1;
+    for (long b = 0; b < B; b++) {
+        const int32_t *x = data + (long)b * n;
+        int32_t *r = out + (long)b * n;
+        memcpy(r, x, sizeof(int32_t) * (size_t)n);
+        const int per = periods[b];
+        if (per == 0)
+            continue;
+        const int delay = per + half_order;
+        const int32_t *c = coefs + (long)b * order;
+        for (int s = delay + 1; s < n; s++) {
+            int64_t acc = half;
+            for (int i = 0; i < order; i++)
+                acc += (int64_t)c[i] * x[s - delay + i];
+            const int32_t pred = (int32_t)(uint32_t)acc >> rshift;
+            r[s] = (int32_t)((uint32_t)x[s] - (uint32_t)pred);
+        }
+    }
+}
+
+// ---- Long-term prediction analysis (batched) --------------------------- //
+// Pitch detection (zero-crossing-bracketed peak scan) + Toeplitz/Cholesky
+// LTP solve + 6-bit coefficient quantization, per row. Exact f64 port of
+// srla_tpu/dsp/pitch.py (itself the parity twin of libs/lpc/src/lpc.c:
+// 1473-1649); pow() goes through platform libm exactly like Python math.pow.
+static int srla_detect_pitch(const double *ac, int min_period,
+                             int max_period) {
+    const int MAX_CAND = 20;
+    int candidates[20];
+    int ncand = 0;
+    double max_peak = 0.0;
+    int i = min_period;
+    while (i < max_period && ncand < MAX_CAND) {
+        int start = i;
+        while (start < max_period) {
+            if (ac[start - 1] < 0.0 && ac[start] > 0.0)
+                break;
+            start++;
+        }
+        int end = start + 1;
+        while (end < max_period - 1) {
+            if (ac[end] > 0.0 && ac[end + 1] < 0.0)
+                break;
+            end++;
+        }
+        int local_peak_index = 0;
+        double local_peak = 0.0;
+        for (int j = start; j <= end; j++) {
+            if (ac[j] > ac[j - 1] && ac[j] > ac[j + 1]) {
+                if (ac[j] > local_peak) {
+                    local_peak_index = j;
+                    local_peak = ac[j];
+                }
+            }
+        }
+        if (local_peak_index != 0) {
+            candidates[ncand++] = local_peak_index;
+            if (local_peak > max_peak)
+                max_peak = local_peak;
+        }
+        i = end + 1;
+    }
+    if (ncand == 0)
+        return 0;
+    if (max_peak < 0.1 * ac[0])
+        return 0;
+    for (int c = 0; c < ncand; c++) {
+        if (ac[candidates[c]] >= 0.9 * max_peak)
+            return candidates[c];
+    }
+    return 0;
+}
+
+// acbuf (B, stride) f64 with lags 0..max_period (+2 zero pad, like the
+// Python caller's acbuf); out_period (B,) int32 (0 = no usable pitch);
+// out_qcoefs (B, order) int32, 6-bit quantized, REVERSED (ready for the
+// forward-indexed LTP filter). Rows are mutated locally only.
+void srla_ltp_analyze_batch(const double *acbuf, long B, int stride,
+                            int coef_order, int min_period, int max_period,
+                            double ridge, int32_t *out_period,
+                            int32_t *out_qcoefs) {
+    const double FLT_MIN_ = 1.1754943508222875e-38;
+    double ac[1024];
+    double A[8][8];
+    double inv_diag[8], x[8];
+    for (long b = 0; b < B; b++) {
+        out_period[b] = 0;
+        for (int j = 0; j < coef_order; j++)
+            out_qcoefs[b * coef_order + j] = 0;
+        const double *row = acbuf + (long)b * stride;
+        for (int j = 0; j < stride && j < 1024; j++)
+            ac[j] = row[j];
+        if (fabs(ac[0]) <= FLT_MIN_)
+            continue;
+        const int period = srla_detect_pitch(ac, min_period, max_period);
+        if (period == 0 || period < (coef_order / 2) + 1)
+            continue;
+        ac[0] *= (1.0 + ridge);
+        for (int j = 0; j < coef_order; j++)
+            for (int k = j; k < coef_order; k++)
+                A[j][k] = A[k][j] = ac[k - j];
+        // Cholesky (in-place lower form, pow(s, -0.5) via libm).
+        int singular = 0;
+        for (int j = 0; j < coef_order; j++) {
+            double s = A[j][j];
+            for (int k = j - 1; k >= 0; k--)
+                s -= A[j][k] * A[j][k];
+            if (s <= 0.0) {
+                singular = 1;
+                break;
+            }
+            inv_diag[j] = pow(s, -0.5);
+            for (int m = j + 1; m < coef_order; m++) {
+                double t = A[j][m];
+                for (int k = j - 1; k >= 0; k--)
+                    t -= A[j][k] * A[m][k];
+                A[m][j] = t * inv_diag[j];
+            }
+        }
+        if (singular)
+            continue;
+        const double *rhs = ac + (period - coef_order / 2);
+        for (int j = 0; j < coef_order; j++) {
+            double s = rhs[j];
+            for (int k = j - 1; k >= 0; k--)
+                s -= A[j][k] * x[k];
+            x[j] = s * inv_diag[j];
+        }
+        for (int j = coef_order - 1; j >= 0; j--) {
+            double s = x[j];
+            for (int k = j + 1; k < coef_order; k++)
+                s -= A[k][j] * x[k];
+            x[j] = s * inv_diag[j];
+        }
+        out_period[b] = period;
+        for (int j = 0; j < coef_order; j++) {
+            const double c = x[j];
+            double q = (c >= 0.0) ? floor(c * 32.0 + 0.5)
+                                  : -floor(-c * 32.0 + 0.5);
+            if (q < -32.0) q = -32.0;
+            if (q > 31.0) q = 31.0;
+            out_qcoefs[b * coef_order + (coef_order - 1 - j)] = (int32_t)q;
+        }
+    }
+}
+
 // Batched Levinson-Durbin recursion (f64, identical rounding order to the
 // host path / reference; parity: libs/lpc/src/lpc.c:379-441). Emits error
 // variances at every order, PARCOR coefficients, and optionally the LPC

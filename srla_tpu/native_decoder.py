@@ -87,6 +87,15 @@ def _load():
     lib.srla_lpc_predict_batch.argtypes = [
         ctypes.c_void_p, ctypes.c_long, ctypes.c_int, ctypes.c_void_p,
         ctypes.c_int, ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p]
+    lib.srla_ltp_analyze_batch.restype = None
+    lib.srla_ltp_analyze_batch.argtypes = [
+        ctypes.c_void_p, ctypes.c_long, ctypes.c_int, ctypes.c_int,
+        ctypes.c_int, ctypes.c_int, ctypes.c_double, ctypes.c_void_p,
+        ctypes.c_void_p]
+    lib.srla_ltp_predict_batch.restype = None
+    lib.srla_ltp_predict_batch.argtypes = [
+        ctypes.c_void_p, ctypes.c_long, ctypes.c_int, ctypes.c_void_p,
+        ctypes.c_int, ctypes.c_void_p, ctypes.c_int, ctypes.c_void_p]
     lib.srla_rice_emit.restype = ctypes.c_long
     lib.srla_rice_emit.argtypes = [
         ctypes.c_void_p, ctypes.c_int, ctypes.c_int, ctypes.c_int,
@@ -201,6 +210,45 @@ def lpc_predict_batch(data: np.ndarray, coefs: np.ndarray, orders: np.ndarray,
 
     lib.srla_lpc_predict_batch(vp(data), B, n, vp(coefs), coefs.shape[1],
                                vp(orders), vp(rshifts), vp(out))
+    return out
+
+
+def ltp_analyze_batch(acbuf: np.ndarray, coef_order: int, min_period: int,
+                      max_period: int, ridge: float):
+    """Native batched pitch detect + LTP solve + 6-bit quantize.
+
+    acbuf: (B, stride) f64 autocorrelation rows (lags 0.. plus zero pad).
+    Returns (periods (B,) int32 with 0 = disabled, qcoefs (B, order) int32
+    reversed)."""
+    lib = _load()
+    acbuf = np.ascontiguousarray(acbuf, np.float64)
+    B, stride = acbuf.shape
+    periods = np.zeros(B, np.int32)
+    qcoefs = np.zeros((B, coef_order), np.int32)
+
+    def vp(a):
+        return a.ctypes.data_as(ctypes.c_void_p)
+
+    lib.srla_ltp_analyze_batch(vp(acbuf), B, stride, coef_order, min_period,
+                               max_period, ridge, vp(periods), vp(qcoefs))
+    return periods, qcoefs
+
+
+def ltp_predict_batch(data: np.ndarray, coefs: np.ndarray, order: int,
+                      periods: np.ndarray, rshift: int) -> np.ndarray:
+    """Native batched long-term prediction (exact integer path)."""
+    lib = _load()
+    data = np.ascontiguousarray(data, np.int32)
+    coefs = np.ascontiguousarray(coefs, np.int32)
+    periods = np.ascontiguousarray(periods, np.int32)
+    B, n = data.shape
+    out = np.empty((B, n), np.int32)
+
+    def vp(a):
+        return a.ctypes.data_as(ctypes.c_void_p)
+
+    lib.srla_ltp_predict_batch(vp(data), B, n, vp(coefs), order,
+                               vp(periods), rshift, vp(out))
     return out
 
 
