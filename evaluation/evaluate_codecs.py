@@ -26,6 +26,7 @@ import time
 import numpy as np
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 from srla_tpu import decode as srla_decode  # noqa: E402
 from srla_tpu import encode as srla_encode  # noqa: E402
@@ -155,23 +156,38 @@ def parse_config(cfg: str) -> dict:
 
 
 def measure_srla_tpu(path: str, cfg: dict, backend: str):
+    from srla_tpu.decoder import SRLADecoder
+    from srla_tpu.encoder import EncodeParameter, SRLAEncoder
+
     wav = read_wav(path)
     duration = wav.pcm.shape[1] / wav.sampling_rate
     raw_size = os.path.getsize(path)
+    param = EncodeParameter(
+        num_channels=wav.pcm.shape[0], bits_per_sample=wav.bits_per_sample,
+        sampling_rate=wav.sampling_rate, preset=cfg["preset"],
+        max_num_samples_per_block=cfg["B"],
+        min_num_samples_per_block=cfg["B"] >> cfg["V"],
+        num_lookahead_samples=cfg["L"] * cfg["B"], ltp_order=cfg["P"])
+    enc = SRLAEncoder(param, backend=backend)
     t0 = time.time()
-    stream = srla_encode(wav.pcm, wav.bits_per_sample, wav.sampling_rate,
-                         preset=cfg["preset"], max_block=cfg["B"],
-                         variable_divisions=cfg["V"],
-                         lookahead_factor=cfg["L"], ltp_order=cfg["P"],
-                         backend=backend)
+    stream = enc.encode_whole(np.asarray(wav.pcm, np.int32))
     t1 = time.time()
-    _, out = srla_decode(stream)
+    dec = SRLADecoder(backend="tpu" if backend == "tpu" else "native")
+    _, out = dec.decode_whole(stream)
     t2 = time.time()
     assert np.array_equal(out, wav.pcm), f"round trip failed for {path}"
+    # Capability accounting columns (no silent fallbacks): how much of the
+    # encode/decode actually ran on which path.
+    st = enc.stats
     return {
         "encode_pct_rt": 100.0 * (t1 - t0) / duration,
         "decode_pct_rt": 100.0 * (t2 - t1) / duration,
         "compression_pct": 100.0 * len(stream) / raw_size,
+        "enc_device_blocks": st.get("device_blocks", 0),
+        "enc_host_blocks": st.get("host_blocks", 0),
+        "enc_repaired_blocks": st.get("repaired_blocks", 0),
+        "dec_device_blocks": dec.stats.get("device_blocks", 0),
+        "dec_host_blocks": dec.stats.get("host_blocks", 0),
     }, stream
 
 
@@ -204,12 +220,38 @@ def measure_reference(path: str, cfg: dict):
     }, stream
 
 
+def measure_flac_py(path: str, cfg: dict):
+    """Competitor row from the bundled from-scratch FLAC implementation
+    (evaluation/flac_codec.py): COMPRESSION is directly comparable to any
+    conforming FLAC encoder at ~-5 settings; speed is NOT comparable to the
+    C `flac` tool (this is numpy) and is reported for completeness only."""
+    import flac_codec
+
+    wav = read_wav(path)
+    if wav.bits_per_sample != 16 or wav.pcm.shape[0] > 2:
+        return None
+    duration = wav.pcm.shape[1] / wav.sampling_rate
+    raw_size = os.path.getsize(path)
+    t0 = time.time()
+    data = flac_codec.encode_flac(wav.pcm, 16, wav.sampling_rate)
+    t1 = time.time()
+    back, _, _ = flac_codec.decode_flac(data)
+    t2 = time.time()
+    assert np.array_equal(back, wav.pcm), f"flac round trip failed: {path}"
+    return {
+        "encode_pct_rt": 100.0 * (t1 - t0) / duration,
+        "decode_pct_rt": 100.0 * (t2 - t1) / duration,
+        "compression_pct": 100.0 * len(data) / raw_size,
+    }
+
+
 def measure_flac(path: str, cfg: dict):
     """FLAC as the external competitor baseline (reference evaluation runs
-    flac/wavpack/tta/tak/mpeg4als; flac is the one in this image)."""
+    flac/wavpack/tta/tak/mpeg4als). Uses the system binary when present,
+    else the bundled from-scratch implementation (flac-py rows)."""
     import shutil
     if shutil.which("flac") is None:
-        return None
+        return measure_flac_py(path, cfg)
     wav = read_wav(path)
     duration = wav.pcm.shape[1] / wav.sampling_rate
     raw_size = os.path.getsize(path)
@@ -271,18 +313,21 @@ def main():
         tmp = tempfile.TemporaryDirectory()
         files = synthetic_corpus(tmp.name, args.seconds)
 
+    import shutil
+    flac_name = "flac" if shutil.which("flac") else "flac-py"
     rows = []
     file_rows = []
     mismatches = 0
-    for cfg_str in args.configs:
+    for cfg_i, cfg_str in enumerate(args.configs):
         cfg = parse_config(cfg_str)
         # Reference first so its streams are available for the byte compare.
         codecs = ["reference"] + [f"srla_tpu[{b}]" for b in args.backends]
-        codecs += ["flac"]
+        if cfg_i == 0 or shutil.which("flac"):
+            # flac-py has a single effort level; one row suffices.
+            codecs += [flac_name]
         ref_streams = {}
         for codec in codecs:
-            agg = {"encode_pct_rt": [], "decode_pct_rt": [],
-                   "compression_pct": []}
+            agg = {}
             for path in files:
                 if codec.startswith("srla_tpu"):
                     backend = codec.split("[")[1][:-1]
@@ -302,11 +347,11 @@ def main():
                 if m is None:
                     break
                 for k, v in m.items():
-                    agg[k].append(v)
+                    agg.setdefault(k, []).append(v)
                 file_rows.append({"codec": codec, "config": cfg_str,
                                   "file": os.path.basename(path),
                                   **{k: round(v, 3) for k, v in m.items()}})
-            if not agg["encode_pct_rt"]:
+            if not agg.get("encode_pct_rt"):
                 continue
             row = {"codec": codec, "config": cfg_str,
                    **{k: round(float(np.mean(v)), 3)
@@ -314,14 +359,23 @@ def main():
             rows.append(row)
             print(row)
 
+    def fieldnames(rws):
+        names = []
+        for r in rws:
+            for k in r:
+                if k not in names:
+                    names.append(k)
+        return names
+
     with open(args.out, "w", newline="") as f:
-        w = csv.DictWriter(f, fieldnames=list(rows[0].keys()))
+        w = csv.DictWriter(f, fieldnames=fieldnames(rows), restval="")
         w.writeheader()
         w.writerows(rows)
     print(f"wrote {args.out}")
     if args.per_file:
         with open(args.per_file, "w", newline="") as f:
-            w = csv.DictWriter(f, fieldnames=list(file_rows[0].keys()))
+            w = csv.DictWriter(f, fieldnames=fieldnames(file_rows),
+                               restval="")
             w.writeheader()
             w.writerows(file_rows)
         print(f"wrote {args.per_file}")

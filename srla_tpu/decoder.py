@@ -45,14 +45,16 @@ class _BlockParams:
 
 class SRLADecoder:
     def __init__(self, check_checksum: bool = True, use_native: bool = True,
-                 backend: str = "native"):
+                 backend: str = "native", mesh=None):
         """backend="native": C++ whole-stream decode (fastest on one host).
-        backend="tpu": entropy decode on host, the synthesis recurrences as
-        batched device scans over the block axis (the BASELINE 'scan-based
-        decode' shape — blocks are independent, so the within-block serial
-        recurrence becomes one lax.scan step per sample over all blocks)."""
+        backend="tpu": fully-on-device decode — entropy decode as a
+        word-streaming state-machine scan plus batched synthesis recurrences
+        over the block axis (blocks are independent, SURVEY §5).
+        mesh: optional jax.sharding.Mesh — device inputs are placed with the
+        block axis sharded over it (multi-chip block parallelism)."""
         self.check_checksum = check_checksum
         self.backend = backend
+        self.mesh = mesh
         # Capability accounting (no silent fallbacks): how many COMPRESS
         # blocks each path actually decoded in the last decode_whole call.
         self.stats = {"device_blocks": 0, "host_blocks": 0}
@@ -302,9 +304,15 @@ class SRLADecoder:
     def _decode_group_device(self, data, idxs, pp, poffs, psizes, progs,
                              header: StreamHeader, n: int,
                              pcm: np.ndarray) -> None:
+        import os
+
         import jax.numpy as jnp
 
         from .kernels.decode import _MAX_LTP, decode_blocks_device
+
+        # Word-machine decoder (kernels/decode2.py) is the default; set
+        # SRLA_DECODE2=0 to fall back to the round-2 per-sample scan.
+        use_v2 = os.environ.get("SRLA_DECODE2", "1") != "0"
 
         C = header.num_channels
         B = len(idxs)
@@ -334,23 +342,64 @@ class SRLADecoder:
 
         start_bits = padded(pp["start_bits"].astype(np.int32)[:, None])[:, 0]
         words = words.byteswap()         # payload bytes are big-endian words
-        # Padding rows decode as ALLZERO sections ('10' at bit 0).
-        words[B:, 0] = 0x80000000
-        out = decode_blocks_device(
-            jnp.asarray(words), jnp.asarray(start_bits),
-            jnp.asarray(padded(pp["orders"])),
-            jnp.asarray(padded(pp["rshifts"])),
-            jnp.asarray(padded(pp["coefs"][:, :, :M])),
-            jnp.asarray(padded(pp["ltp_orders"])),
-            jnp.asarray(padded(pp["ltp_periods"])),
-            jnp.asarray(padded(pp["ltp_coefs"][:, :, :_MAX_LTP])),
-            jnp.asarray(padded(pp["pre_coef"])),
-            jnp.asarray(padded(pp["pre_prev"])),
-            jnp.asarray(padded(pp["method"][:, None])[:, 0]),
-            np.int32(header.offset_lshift), n=n, C=C, M=M)
+        # Padding rows decode as ALLZERO sections for every channel
+        # ('10' repeated at bit 0 = 0xAAAAAAAA).
+        words[B:, 0] = 0xAAAAAAAA
+        def place(arr):
+            """Block-axis sharding over the optional mesh (SPMD decode)."""
+            if self.mesh is not None:
+                import jax
+                from jax.sharding import NamedSharding, PartitionSpec
+                nd = self.mesh.devices.size
+                if arr.shape[0] % nd == 0:
+                    spec = PartitionSpec(
+                        self.mesh.axis_names[0],
+                        *([None] * (arr.ndim - 1)))
+                    return jax.device_put(
+                        arr, NamedSharding(self.mesh, spec))
+            return jnp.asarray(arr)
+
+        args = (place(words), place(start_bits),
+                place(padded(pp["orders"])),
+                place(padded(pp["rshifts"])),
+                place(padded(pp["coefs"][:, :, :M])),
+                place(padded(pp["ltp_orders"])),
+                place(padded(pp["ltp_periods"])),
+                place(padded(pp["ltp_coefs"][:, :, :_MAX_LTP])),
+                place(padded(pp["pre_coef"])),
+                place(padded(pp["pre_prev"])),
+                place(padded(pp["method"][:, None])[:, 0]),
+                np.int32(header.offset_lshift))
+        repair = []
+        if use_v2:
+            from .kernels.decode2 import decode_blocks_device2
+            has_ltp = bool((pp["ltp_periods"][sel] > 0).any())
+            out, ovf = decode_blocks_device2(*args, n=n, C=C, M=M,
+                                             has_ltp=has_ltp)
+            ovf = np.asarray(ovf)[:B]
+            repair = np.flatnonzero(ovf).tolist()
+        else:
+            out = decode_blocks_device(*args, n=n, C=C, M=M)
         out = np.asarray(out)
-        self.stats["device_blocks"] += B
+        self.stats["device_blocks"] += B - len(repair)
+        self.stats["host_blocks"] += len(repair)
+        repair_set = set(repair)
         for bi, b in enumerate(idxs):
+            if bi in repair_set:
+                # Pathologically sparse payload (an output 32-block spans
+                # more than the device resolution window): exact host
+                # re-derivation, counted — never a silent wrong result.
+                bp = _BlockParams(
+                    int(pp["method"][b]), pp["pre_prev"][b],
+                    pp["pre_coef"][b], pp["orders"][b], pp["rshifts"][b],
+                    pp["coefs"][b], pp["ltp_orders"][b],
+                    pp["ltp_periods"][b], pp["ltp_coefs"][b], None)
+                r = BitReader(data[poffs[b]:poffs[b] + psizes[b]])
+                r.pos = int(pp["start_bits"][b])
+                bp.residual = np.stack([rice.decode(r, n) for _c in range(C)])
+                pcm[:, progs[b]:progs[b] + n] = self.synthesize_block(
+                    bp, header, n)
+                continue
             pcm[:, progs[b]:progs[b] + n] = out[bi]
 
 

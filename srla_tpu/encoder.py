@@ -1776,26 +1776,68 @@ def encode_files(pcm_list, bits_per_sample: int, sampling_rate: int,
                  backend: str = "tpu") -> list:
     """Batched multi-file encode (corpus throughput runs).
 
-    Device programs are shared across files (block batches are padded to
-    fixed buckets, so every file reuses the same compiled executables); the
-    per-file streams come back in order.
+    Fixed-block encodes of files sharing (channels, offset_lshift) are
+    CROSS-FILE BATCHED: their blocks join the same equal-size groups and go
+    through one device dispatch per compile bucket spanning files — the
+    per-file dispatch count (not FLOPs) is the short-file bottleneck on the
+    remote device link. Variable-block (-V) and mixed-format corpora fall
+    back to sequential per-file encoding; device programs are still shared
+    (fixed compile buckets). Streams come back in input order.
     """
-    out = []
-    enc = None
-    for pcm in pcm_list:
-        pcm = np.asarray(pcm, dtype=np.int32)
-        param = EncodeParameter(
-            num_channels=pcm.shape[0], bits_per_sample=bits_per_sample,
+
+    def make_param(C):
+        return EncodeParameter(
+            num_channels=C, bits_per_sample=bits_per_sample,
             sampling_rate=sampling_rate, preset=preset,
             max_num_samples_per_block=max_block,
             min_num_samples_per_block=max_block >> variable_divisions,
             num_lookahead_samples=lookahead_factor * max_block,
             ltp_order=ltp_order,
             num_svr_filter_learning_iteration=svr_iterations)
+
+    pcms = [np.asarray(p, dtype=np.int32) for p in pcm_list]
+    out: dict[int, bytes] = {}
+    if variable_divisions == 0 and len(pcms) > 1:
+        # Group files by (C, offset_lshift); each group encodes as one
+        # virtual concatenated file whose spans never cross file boundaries.
+        groups: dict[tuple, list[int]] = {}
+        lshifts = [_compute_offset_lshift(p) for p in pcms]
+        for i, p in enumerate(pcms):
+            groups.setdefault((p.shape[0], lshifts[i]), []).append(i)
+        for (C, lshift), idxs in groups.items():
+            if len(idxs) == 1:
+                i = idxs[0]
+                out[i] = SRLAEncoder(make_param(C),
+                                     backend=backend).encode_whole(pcms[i])
+                continue
+            enc = SRLAEncoder(make_param(C), backend=backend)
+            cat = np.concatenate([pcms[i] for i in idxs], axis=1)
+            spans = []
+            ranges = []
+            off = 0
+            for i in idxs:
+                n_i = pcms[i].shape[1]
+                first = len(spans)
+                for o in range(0, n_i, max_block):
+                    spans.append((off + o, min(max_block, n_i - o)))
+                ranges.append((i, first, len(spans)))
+                off += n_i
+            framed = enc._encode_spans(cat, spans, lshift)
+            enc._check_repair_rate()
+            for i, lo, hi in ranges:
+                header = StreamHeader(C, pcms[i].shape[1], sampling_rate,
+                                      bits_per_sample, lshift, max_block,
+                                      preset)
+                out[i] = b"".join([encode_header(header)] + framed[lo:hi])
+        return [out[i] for i in range(len(pcms))]
+
+    enc = None
+    for i, pcm in enumerate(pcms):
+        param = make_param(pcm.shape[0])
         if enc is None or enc.p != param:
             enc = SRLAEncoder(param, backend=backend)
-        out.append(enc.encode_whole(pcm))
-    return out
+        out[i] = enc.encode_whole(pcm)
+    return [out[i] for i in range(len(pcms))]
 
 
 def encode(pcm: np.ndarray, bits_per_sample: int, sampling_rate: int,

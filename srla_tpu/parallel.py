@@ -97,3 +97,23 @@ def encode_corpus_sharded(mesh: Mesh, pcm_list, bits_per_sample: int,
         enc = SRLAEncoder(param, backend="tpu", mesh=mesh)
         out.append(enc.encode_whole(pcm))
     return out
+
+
+def decode_corpus_sharded(mesh: Mesh, streams, check_checksum: bool = True):
+    """Decode a corpus of .srl streams with the block axis sharded over the
+    mesh: the word-machine entropy scan, compaction, and synthesis scans all
+    run SPMD over blocks (kernels/decode2.py is elementwise/scan over the
+    block axis, so GSPMD inserts no collectives until the host fetch).
+
+    Returns a list of (C, N) int32 PCM arrays, bit-exact with the
+    single-device / host decode.
+    """
+    from .decoder import SRLADecoder
+
+    out = []
+    for stream in streams:
+        dec = SRLADecoder(check_checksum=check_checksum, backend="tpu",
+                          mesh=mesh)
+        _, pcm = dec.decode_whole(stream)
+        out.append(pcm)
+    return out
