@@ -32,9 +32,10 @@ PALETTE = {
     "srla_tpu[exact]": "#eb6834",  # orange
     "srla_tpu[tpu]": "#1baf7a",    # aqua
     "flac": "#eda100",             # yellow
+    "flac-py": "#eda100",          # yellow (bundled implementation)
 }
 MARKERS = {"reference": "o", "srla_tpu[exact]": "s", "srla_tpu[tpu]": "D",
-           "flac": "^"}
+           "flac": "^", "flac-py": "^"}
 TEXT = "#0b0b0b"
 TEXT2 = "#52514e"
 GRID = "#e3e2de"

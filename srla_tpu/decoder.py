@@ -55,6 +55,8 @@ class SRLADecoder:
         self.check_checksum = check_checksum
         self.backend = backend
         self.mesh = mesh
+        self._device_expected = None     # device-resident verify mode
+        self._device_ok = []
         # Capability accounting (no silent fallbacks): how many COMPRESS
         # blocks each path actually decoded in the last decode_whole call.
         self.stats = {"device_blocks": 0, "host_blocks": 0}
@@ -179,6 +181,42 @@ class SRLADecoder:
                 pcm = self.synthesize_block(bp, header, nsamples)
         return pcm, (poff - offset) + psize
 
+    def decode_whole_device_resident(self, data: bytes,
+                                     expected) -> tuple[bool, dict]:
+        """Decode with backend="tpu", keeping the PCM of device-decoded
+        groups ON DEVICE and verifying it there against `expected` (a
+        pre-staged jax device array (C, N) int32); only booleans and
+        host-path blocks cross the device->host link.
+
+        This is the TPU-pipeline deployment shape (decoded audio feeding a
+        device-resident consumer); bench.py reports it alongside the
+        end-to-end number because this environment's tunnel D2H runs at
+        17-53 MB/s, which is not representative of real PCIe/DMA.
+
+        expected_np is the same PCM as a host array (no D2H fetch needed for
+        the host-path comparison). Returns (lossless, stats)."""
+        import jax
+
+        expected_dev, expected_np = expected
+        header = decode_header(data)
+        N = header.num_samples
+        self._device_expected = expected_dev
+        self._device_ok = []
+        self._device_verified = 0
+        self._host_spans = []
+        try:
+            pcm = self._decode_whole_device(data, header)
+        finally:
+            self._device_expected = None
+        flags = [bool(jax.device_get(f)) for f in self._device_ok]
+        self._device_ok = []
+        host_ok = all(
+            np.array_equal(pcm[:, s:s + ln], expected_np[:, s:s + ln])
+            for s, ln in self._host_spans)
+        covered = self._device_verified + sum(ln for _, ln in
+                                              self._host_spans)
+        return all(flags) and host_ok and covered >= N, dict(self.stats)
+
     def decode_whole(self, data: bytes) -> tuple[StreamHeader, np.ndarray]:
         header = decode_header(data)
         C, N = header.num_channels, header.num_samples
@@ -244,6 +282,9 @@ class SRLADecoder:
                 sizes.append(nsamples)
                 poffs.append(poff)
                 psizes.append(psize)
+            if btype != BlockDataType.COMPRESS \
+                    and self._device_expected is not None:
+                self._host_spans.append((progress, nsamples))
             offset = poff + psize
             progress += nsamples
         if not progs:
@@ -282,6 +323,8 @@ class SRLADecoder:
         for n, idxs in groups.items():
             if len(idxs) < self._DEV_MIN_GROUP:
                 self.stats["host_blocks"] += len(idxs)
+                if self._device_expected is not None:
+                    self._host_spans.extend((progs[b], n) for b in idxs)
                 for b in idxs:
                     bp = _BlockParams(
                         int(pp["method"][b]), pp["pre_prev"][b],
@@ -380,10 +423,43 @@ class SRLADecoder:
             repair = np.flatnonzero(ovf).tolist()
         else:
             out = decode_blocks_device(*args, n=n, C=C, M=M)
-        out = np.asarray(out)
         self.stats["device_blocks"] += B - len(repair)
         self.stats["host_blocks"] += len(repair)
         repair_set = set(repair)
+        if self._device_expected is not None:
+            # Device-resident verify: compare on device, fetch one boolean;
+            # repaired rows fall through to the host-span comparison.
+            from .kernels.decode2 import verify_blocks_device
+            starts = np.zeros(len(idxs), np.int32)
+            okrows = np.zeros(len(idxs), bool)
+            for bi, b in enumerate(idxs):
+                starts[bi] = progs[b]
+                okrows[bi] = bi not in repair_set
+            self._device_ok.append(verify_blocks_device(
+                out, self._device_expected, jnp.asarray(starts),
+                jnp.asarray(okrows), n=n, B=B))
+            self._device_verified += int(okrows.sum()) * n
+            for bi in sorted(repair_set):
+                self._host_spans.append((progs[idxs[bi]], n))
+                b = idxs[bi]
+                bp = _BlockParams(
+                    int(pp["method"][b]), pp["pre_prev"][b],
+                    pp["pre_coef"][b], pp["orders"][b], pp["rshifts"][b],
+                    pp["coefs"][b], pp["ltp_orders"][b],
+                    pp["ltp_periods"][b], pp["ltp_coefs"][b], None)
+                r = BitReader(data[poffs[b]:poffs[b] + psizes[b]])
+                r.pos = int(pp["start_bits"][b])
+                bp.residual = np.stack([rice.decode(r, n) for _c in range(C)])
+                pcm[:, progs[b]:progs[b] + n] = self.synthesize_block(
+                    bp, header, n)
+            return
+        # Fetch only the real rows; 16-bit content crosses the link as
+        # int16 (the D2H tunnel runs at 17-53 MB/s — halving bytes halves
+        # the dominant decode cost at file scale).
+        if header.bits_per_sample <= 16:
+            out = np.asarray(out[:B].astype(jnp.int16)).astype(np.int32)
+        else:
+            out = np.asarray(out[:B])
         for bi, b in enumerate(idxs):
             if bi in repair_set:
                 # Pathologically sparse payload (an output 32-block spans

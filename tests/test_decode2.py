@@ -11,21 +11,23 @@ from srla_tpu import decode, encode
 from srla_tpu.decoder import SRLADecoder
 
 
-def test_sparse_payload_overflow_host_repair():
+def test_sparse_payload_outliers():
     """A huge outlier in an otherwise near-silent block produces a unary run
-    of thousands of zero bits — the compaction window overflows and the
-    block must be host-repaired (exactly detected, counted, bit-exact)."""
+    of thousands of zero bits (many completion-free payload words); the
+    snapshot assembly has no window bound, so this decodes fully on device,
+    bit-exact."""
     rng = np.random.RandomState(7)
-    sig = (rng.randn(2, 4096 * 3) * 2).round().astype(np.int32)
+    sig = (rng.randn(2, 4096 * 5) * 2).round().astype(np.int32)
     sig[0, 5000] = 30000          # forces a multi-thousand-bit unary run
     sig[1, 9000] = -30000
+    sig[0, 17000] = 29000
     data = encode(sig, 16, 44100, preset=0)   # order 0: residual = signal
     _, host = decode(data)
     d = SRLADecoder(backend="tpu")
     _, dev = d.decode_whole(data)
     assert np.array_equal(dev, host)
     assert np.array_equal(dev, sig)
-    assert d.stats["host_blocks"] >= 1, d.stats
+    assert d.stats["device_blocks"] >= 5, d.stats
 
 
 def test_rolled_and_unrolled_machines_agree():
@@ -66,6 +68,27 @@ def test_device_decode_random_streams(seed):
     d = SRLADecoder(backend="tpu")
     _, dev = d.decode_whole(data)
     assert np.array_equal(dev, host)
+
+
+def test_device_resident_verify():
+    """decode_whole_device_resident verifies on device (one bool per group
+    crosses the link) and covers host-path spans (raw/silent/tiny groups)."""
+    import jax.numpy as jnp
+
+    rng = np.random.RandomState(9)
+    sig = (rng.randn(2, 4096 * 4 + 100) * 4000).astype(np.int32)
+    sig[:, 4096:8192] = 0                     # silent block
+    data = encode(sig, 16, 44100)
+    d = SRLADecoder(backend="tpu")
+    ok, stats = d.decode_whole_device_resident(
+        data, (jnp.asarray(sig), sig))
+    assert ok, stats
+    # A corrupted expectation must be detected.
+    bad = sig.copy()
+    bad[0, 10] ^= 1
+    d = SRLADecoder(backend="tpu")
+    ok2, _ = d.decode_whole_device_resident(data, (jnp.asarray(bad), bad))
+    assert not ok2
 
 
 def test_repair_rate_warning_fires():
