@@ -29,6 +29,21 @@ from .format import StreamHeader, decode_header, parse_block_header
 from .huffman import parameter_codebook, sum_parameter_codebook
 
 
+# 1.5-step bucket ladder shared by page counts and block-row counts: keeps
+# padding waste <= 33% while bounding the number of distinct compile keys
+# (remote compiles through the device tunnel run 45-250 s per shape).
+_PAGE_LADDER = [1, 2, 3, 4, 6, 8, 12, 16, 24, 32, 48, 64, 96, 128, 192,
+                256, 384, 512, 768, 1024, 1536, 2048, 3072, 4096, 6144,
+                8192]
+
+
+def _bucket(v: int, floor: int = 1) -> int:
+    for b in _PAGE_LADDER:
+        if b >= max(v, floor):
+            return b
+    return v
+
+
 @dataclass
 class _BlockParams:
     method: int
@@ -255,9 +270,47 @@ class SRLADecoder:
     # Device decode tuning. Groups smaller than _DEV_MIN_GROUP are decoded
     # on host (compiling a device program for a couple of stragglers costs
     # more than it saves); the fallback is counted in self.stats. Chunking
-    # bounds the NEXT_ONE table's footprint (B * W * 32 * 4 bytes per chunk).
+    # bounds the snapshot table's footprint (rows * (W+1) * 32 * 4 bytes
+    # per chunk) — fewer, larger chunks amortize the per-word entropy scan,
+    # whose step count is W per chunk regardless of row count.
     _DEV_MIN_GROUP = 4
-    _DEV_CHUNK = 512
+    _DEV_SNAP_BYTES = 2_500_000_000
+    # Stream pages: the .srl bytes cross the link once as fixed 512 KiB
+    # uint32 pages (compile key = page count, bucketed on _PAGE_LADDER);
+    # trailing pages reuse one shared zero buffer so padding is never
+    # re-uploaded. Block windows are cut on device (_stage_from_flat).
+    _PAGE_WORDS = 131072
+
+    _zero_page = None
+
+    def _stream_pages(self, data: bytes):
+        """Upload the stream as exact-size pages (plus >= 1 page of zero
+        slack so every per-row (W+1)-word slice gather stays in bounds)."""
+        import jax.numpy as jnp
+        key = (id(data), len(data))
+        if getattr(self, "_pages_key", None) == key:
+            return self._pages_val
+        PW = self._PAGE_WORDS
+        raw = np.frombuffer(data, np.uint8)
+        ndata = (len(raw) + 4 * PW - 1) // (4 * PW)
+        total = ndata + 1
+        for b in _PAGE_LADDER:
+            if b >= total:
+                total = b
+                break
+        pages = []
+        for i in range(ndata):
+            buf = np.zeros(PW, np.uint32)
+            seg = raw[i * 4 * PW:(i + 1) * 4 * PW]
+            buf.view(np.uint8)[:len(seg)] = seg
+            pages.append(jnp.asarray(buf))
+        if SRLADecoder._zero_page is None or \
+                SRLADecoder._zero_page.shape[0] != PW:
+            SRLADecoder._zero_page = jnp.zeros(PW, jnp.uint32)
+        pages.extend([SRLADecoder._zero_page] * (total - ndata))
+        self._pages_key = key
+        self._pages_val = tuple(pages)
+        return self._pages_val
 
     def _decode_whole_device(self, data: bytes,
                              header: StreamHeader) -> np.ndarray:
@@ -338,9 +391,13 @@ class SRLADecoder:
                     pcm[:, progs[b]:progs[b] + n] = self.synthesize_block(
                         bp, header, n)
                 continue
-            for lo in range(0, len(idxs), self._DEV_CHUNK):
+            Wmax = max((int(psizes[np.asarray(idxs)].max()) + 3) // 4, 1)
+            Wmax = ((Wmax + 511) // 512) * 512
+            chunk = max(256, (self._DEV_SNAP_BYTES // ((Wmax + 1) * 128))
+                        // 256 * 256)
+            for lo in range(0, len(idxs), chunk):
                 self._decode_group_device(
-                    data, idxs[lo:lo + self._DEV_CHUNK], pp, poffs, psizes,
+                    data, idxs[lo:lo + chunk], pp, poffs, psizes,
                     progs, header, n, pcm)
         return pcm
 
@@ -351,78 +408,44 @@ class SRLADecoder:
 
         import jax.numpy as jnp
 
-        from .kernels.decode import _MAX_LTP, decode_blocks_device
-
         # Word-machine decoder (kernels/decode2.py) is the default; set
         # SRLA_DECODE2=0 to fall back to the round-2 per-sample scan.
         use_v2 = os.environ.get("SRLA_DECODE2", "1") != "0"
 
         C = header.num_channels
         B = len(idxs)
+        sel = np.asarray(idxs)
         # Static-shape bucketing: device programs compile once per
         # (Bp, W, n, C, M) bucket and the persistent XLA cache makes later
         # processes start hot.
-        Bp = 64
-        while Bp < B:
-            Bp *= 2
-        sel = np.asarray(idxs)
         W = max((int(psizes[sel].max()) + 3) // 4, 1)
         W = ((W + 511) // 512) * 512
         # M buckets to multiples of 8 over the group's actual max order.
         M = max(int(pp["orders"][sel].max()), 1)
         M = ((M + 7) // 8) * 8
 
-        words = np.zeros((Bp, W), dtype=np.uint32)
-        wv = words.view(np.uint8).reshape(Bp, W * 4)
-        raw = np.frombuffer(data, np.uint8)
-        for bi, b in enumerate(idxs):
-            wv[bi, :psizes[b]] = raw[poffs[b]:poffs[b] + psizes[b]]
-
-        def padded(arr, fill=0):
-            out = np.zeros((Bp,) + arr.shape[1:], np.int32)
-            out[:B] = arr[sel]
-            return out
-
-        start_bits = padded(pp["start_bits"].astype(np.int32)[:, None])[:, 0]
-        words = words.byteswap()         # payload bytes are big-endian words
-        # Padding rows decode as ALLZERO sections for every channel
-        # ('10' repeated at bit 0 = 0xAAAAAAAA).
-        words[B:, 0] = 0xAAAAAAAA
-        def place(arr):
-            """Block-axis sharding over the optional mesh (SPMD decode)."""
-            if self.mesh is not None:
-                import jax
-                from jax.sharding import NamedSharding, PartitionSpec
-                nd = self.mesh.devices.size
-                if arr.shape[0] % nd == 0:
-                    spec = PartitionSpec(
-                        self.mesh.axis_names[0],
-                        *([None] * (arr.ndim - 1)))
-                    return jax.device_put(
-                        arr, NamedSharding(self.mesh, spec))
-            return jnp.asarray(arr)
-
-        args = (place(words), place(start_bits),
-                place(padded(pp["orders"])),
-                place(padded(pp["rshifts"])),
-                place(padded(pp["coefs"][:, :, :M])),
-                place(padded(pp["ltp_orders"])),
-                place(padded(pp["ltp_periods"])),
-                place(padded(pp["ltp_coefs"][:, :, :_MAX_LTP])),
-                place(padded(pp["pre_coef"])),
-                place(padded(pp["pre_prev"])),
-                place(padded(pp["method"][:, None])[:, 0]),
-                np.int32(header.offset_lshift))
         repair = []
-        if use_v2:
-            from .kernels.decode2 import decode_blocks_device2
+        if use_v2 and self.mesh is None:
+            # Stream-paged path: the .srl bytes cross the link once at
+            # exact size; block windows, byteswap, and bit alignment all
+            # happen on device. One packed meta array replaces eleven
+            # small uploads (each small transfer pays the link's fixed
+            # ~25 ms latency — they, not compute, dominated round 2).
+            from .kernels.decode2 import decode_blocks_paged, pack_meta
+            from .kernels.decode2 import _MAX_LTP_C
+            Bp = _bucket(B, 64)
+            abs_bits = poffs[sel] * 8 + pp["start_bits"][sel].astype(np.int64)
+            meta = pack_meta(pp, sel, (abs_bits >> 5).astype(np.int32),
+                             (abs_bits & 31).astype(np.int32), Bp, C, M,
+                             _MAX_LTP_C)
             has_ltp = bool((pp["ltp_periods"][sel] > 0).any())
-            out, ovf = decode_blocks_device2(*args, n=n, C=C, M=M,
-                                             has_ltp=has_ltp)
-            ovf = np.asarray(ovf)[:B]
-            repair = np.flatnonzero(ovf).tolist()
+            out = decode_blocks_paged(
+                self._stream_pages(data), jnp.asarray(meta),
+                np.int32(header.offset_lshift), n=n, C=C, M=M, W=W,
+                has_ltp=has_ltp)
         else:
-            out = decode_blocks_device(*args, n=n, C=C, M=M)
+            out = self._decode_group_staged(data, idxs, pp, poffs, psizes,
+                                            header, n, C, W, M, use_v2)
         self.stats["device_blocks"] += B - len(repair)
         self.stats["host_blocks"] += len(repair)
         repair_set = set(repair)
@@ -453,13 +476,14 @@ class SRLADecoder:
                 pcm[:, progs[b]:progs[b] + n] = self.synthesize_block(
                     bp, header, n)
             return
-        # Fetch only the real rows; 16-bit content crosses the link as
-        # int16 (the D2H tunnel runs at 17-53 MB/s — halving bytes halves
-        # the dominant decode cost at file scale).
+        # 16-bit content crosses the link as int16 (the D2H tunnel runs at
+        # 17-53 MB/s — halving bytes halves the dominant decode cost at
+        # file scale). Convert the full bucketed array (stable compile
+        # key) and slice the real rows host-side.
         if header.bits_per_sample <= 16:
-            out = np.asarray(out[:B].astype(jnp.int16)).astype(np.int32)
+            out = np.asarray(out.astype(jnp.int16))[:B].astype(np.int32)
         else:
-            out = np.asarray(out[:B])
+            out = np.asarray(out)[:B]
         for bi, b in enumerate(idxs):
             if bi in repair_set:
                 # Pathologically sparse payload (an output 32-block spans
@@ -477,6 +501,70 @@ class SRLADecoder:
                     bp, header, n)
                 continue
             pcm[:, progs[b]:progs[b] + n] = out[bi]
+
+    def _decode_group_staged(self, data, idxs, pp, poffs, psizes, header,
+                             n: int, C: int, W: int, M: int, use_v2: bool):
+        """Host-staged (Bp, W) word upload — used for mesh-sharded decode
+        (block-axis SPMD needs shardable per-row operands, not one
+        replicated stream) and the SRLA_DECODE2=0 round-2 fallback."""
+        import jax.numpy as jnp
+
+        from .kernels.decode import _MAX_LTP, decode_blocks_device
+
+        B = len(idxs)
+        sel = np.asarray(idxs)
+        Bp = 64
+        while Bp < B:
+            Bp *= 2
+        words = np.zeros((Bp, W), dtype=np.uint32)
+        wv = words.view(np.uint8).reshape(Bp, W * 4)
+        raw = np.frombuffer(data, np.uint8)
+        for bi, b in enumerate(idxs):
+            wv[bi, :psizes[b]] = raw[poffs[b]:poffs[b] + psizes[b]]
+
+        def padded(arr):
+            out = np.zeros((Bp,) + arr.shape[1:], np.int32)
+            out[:B] = arr[sel]
+            return out
+
+        start_bits = padded(pp["start_bits"].astype(np.int32)[:, None])[:, 0]
+        words = words.byteswap()         # payload bytes are big-endian words
+        # Padding rows decode as ALLZERO sections for every channel
+        # ('10' repeated at bit 0 = 0xAAAAAAAA).
+        words[B:, 0] = 0xAAAAAAAA
+
+        def place(arr):
+            """Block-axis sharding over the optional mesh (SPMD decode)."""
+            if self.mesh is not None:
+                import jax
+                from jax.sharding import NamedSharding, PartitionSpec
+                nd = self.mesh.devices.size
+                if arr.shape[0] % nd == 0:
+                    spec = PartitionSpec(
+                        self.mesh.axis_names[0],
+                        *([None] * (arr.ndim - 1)))
+                    return jax.device_put(
+                        arr, NamedSharding(self.mesh, spec))
+            return jnp.asarray(arr)
+
+        args = (place(words), place(start_bits),
+                place(padded(pp["orders"])),
+                place(padded(pp["rshifts"])),
+                place(padded(pp["coefs"][:, :, :M])),
+                place(padded(pp["ltp_orders"])),
+                place(padded(pp["ltp_periods"])),
+                place(padded(pp["ltp_coefs"][:, :, :_MAX_LTP])),
+                place(padded(pp["pre_coef"])),
+                place(padded(pp["pre_prev"])),
+                place(padded(pp["method"][:, None])[:, 0]),
+                np.int32(header.offset_lshift))
+        if use_v2:
+            from .kernels.decode2 import decode_blocks_device2
+            has_ltp = bool((pp["ltp_periods"][sel] > 0).any())
+            out, _ovf = decode_blocks_device2(*args, n=n, C=C, M=M,
+                                              has_ltp=has_ltp)
+            return out
+        return decode_blocks_device(*args, n=n, C=C, M=M)
 
 
 def decode(data: bytes, check_checksum: bool = True):

@@ -333,6 +333,150 @@ def _assemble(snap: "jnp.ndarray", counts: "jnp.ndarray",
     return jnp.stack(chans, axis=1)                          # (B, C, n)
 
 
+def _byteswap32(w: jnp.ndarray) -> jnp.ndarray:
+    """uint32 byte reversal (stream bytes are MSB-first; the host uploads
+    the raw little-endian uint32 view to avoid a host-side staging pass)."""
+    return (((w & jnp.uint32(0xFF)) << 24)
+            | ((w & jnp.uint32(0xFF00)) << 8)
+            | ((w >> 8) & jnp.uint32(0xFF00))
+            | (w >> 24))
+
+
+def _stage_from_flat(flat: jnp.ndarray, word_start: jnp.ndarray,
+                     bit_rem: jnp.ndarray, W: int):
+    """Per-row (W+1)-word slice gather straight out of the uploaded stream,
+    byteswap, and left-shift so each block's first residual bit lands at
+    bit 0. Replaces the host staging loop + padded (B, W) upload: the
+    stream crosses the link ONCE at its exact size (paged, see driver) and
+    block windows are cut on device — H2D bandwidth through the remote
+    tunnel is the decode floor, so padding waste is wall-clock waste."""
+    B = word_start.shape[0]
+    gd = jax.lax.GatherDimensionNumbers(
+        offset_dims=(1,), collapsed_slice_dims=(), start_index_map=(0,))
+    sl = jax.lax.gather(flat, word_start.reshape(B, 1), gd,
+                        slice_sizes=(W + 1,), indices_are_sorted=False,
+                        unique_indices=False)
+    sl = _byteswap32(sl)
+    w0, w1 = sl[:, :W], sl[:, 1:W + 1]
+    b = bit_rem[:, None].astype(jnp.uint32)
+    rs = jnp.where(b == 0, jnp.uint32(1), 32 - b)
+    return jnp.where(b == 0, w0, (w0 << b) | (w1 >> rs))
+
+
+# Packed per-block metadata layout (one H2D transfer instead of eleven —
+# each small-array upload pays the link's fixed latency, which measured
+# ~25 ms apiece through the tunnel and dominated decode wall time).
+def _meta_cols(C: int, M: int, L: int):
+    cols = {}
+    o = 0
+    for name, width in (("word_start", 1), ("bit_rem", 1), ("method", 1),
+                        ("orders", C), ("rshifts", C), ("coefs", C * M),
+                        ("ltp_orders", C), ("ltp_periods", C),
+                        ("ltp_coefs", C * L), ("pre_coef", C),
+                        ("pre_prev", C)):
+        cols[name] = (o, width)
+        o += width
+    return cols, o
+
+
+def pack_meta(pp: dict, sel, word_start, bit_rem, Bp: int, C: int, M: int,
+              L: int):
+    """Host-side: pack the per-block decode parameters into one (Bp, K)
+    int32 array matching _meta_cols."""
+    cols, K = _meta_cols(C, M, L)
+    meta = np.zeros((Bp, K), np.int32)
+    B = len(sel)
+
+    def put(name, arr):
+        o, w = cols[name]
+        meta[:B, o:o + w] = arr.reshape(B, w)
+    put("word_start", word_start)
+    put("bit_rem", bit_rem)
+    put("method", pp["method"][sel])
+    put("orders", pp["orders"][sel])
+    put("rshifts", pp["rshifts"][sel])
+    put("coefs", pp["coefs"][sel][:, :, :M])
+    put("ltp_orders", pp["ltp_orders"][sel])
+    put("ltp_periods", pp["ltp_periods"][sel])
+    put("ltp_coefs", pp["ltp_coefs"][sel][:, :, :L])
+    put("pre_coef", pp["pre_coef"][sel])
+    put("pre_prev", pp["pre_prev"][sel])
+    return meta
+
+
+@partial(jax.jit, static_argnames=("n", "C", "M", "W", "has_ltp"))
+def decode_blocks_paged(pages, meta, lshift, *, n: int, C: int, M: int,
+                        W: int, has_ltp: bool):
+    """Fused device decode of one equal-size block group, stream-resident.
+
+    pages: tuple of equal-length (P,) uint32 arrays — the raw .srl bytes as
+    a little-endian uint32 view, split into fixed pages (trailing pages may
+    be a shared all-zero buffer, uploaded once per process). meta: (Bp, K)
+    int32 packed per-block parameters (pack_meta). Compile key is
+    (page count, Bp, W, n, C, M) — all bucketed by the driver.
+
+    Returns pcm (Bp, C, n) int32 with stereo inverse and offset lshift
+    applied; rows past the real block count hold garbage (callers slice).
+    """
+    flat = jnp.concatenate(pages) if len(pages) > 1 else pages[0]
+    cols, _K = _meta_cols(C, M, _MAX_LTP_C)
+
+    def col(name, shape=None):
+        o, w = cols[name]
+        v = meta[:, o:o + w]
+        return v.reshape((meta.shape[0],) + shape) if shape else v[:, 0]
+
+    word_start = jnp.clip(col("word_start"), 0, flat.shape[0] - (W + 1))
+    sw = _stage_from_flat(flat, word_start, col("bit_rem"), W)
+    snap, counts, azmask = _entropy_scan(sw.T, n, C)
+    res = _assemble(snap, counts, azmask, n, C)          # (B, C, n)
+    return _synthesize(res, col("orders", (C,)), col("rshifts", (C,)),
+                       col("coefs", (C, M)), col("ltp_orders", (C,)),
+                       col("ltp_periods", (C,)),
+                       col("ltp_coefs", (C, _MAX_LTP_C)),
+                       col("pre_coef", (C,)), col("pre_prev", (C,)),
+                       col("method"), lshift, n=n, C=C, M=M,
+                       has_ltp=has_ltp)
+
+
+_MAX_LTP_C = 3                      # MAX_LTP_ORDER (srla_internal.h:27-35)
+
+
+def _synthesize(res, orders, rshifts, coefs, ltp_orders, ltp_periods,
+                ltp_coefs, pre_coef, pre_prev, methods, lshift, *, n, C, M,
+                has_ltp):
+    """Shared synthesis tail: LPC recurrence (+fused de-emphasis), optional
+    LTP pass, stereo inverse, offset shift."""
+    B = res.shape[0]
+    R = B * C
+    resR = res.reshape(R, n)
+    ordR = orders.reshape(R)
+    rshR = rshifts.reshape(R)
+    aligned = _align_coefs(coefs.reshape(R, -1)[:, :M], ordR, M)
+    dcoef = pre_coef.reshape(R)
+    dprev = pre_prev.reshape(R).astype(jnp.int32)
+    if has_ltp:
+        v = _lpc_scan(resR, aligned, ordR, rshR, n, M)
+        y = _ltp_pass(v, ltp_orders.reshape(R), ltp_periods.reshape(R),
+                      ltp_coefs.reshape(R, -1), n)
+        y = _deemph_scan(y, dcoef, dprev)
+    else:
+        y = _lpc_scan(resR, aligned, ordR, rshR, n, M, dcoef=dcoef,
+                      dprev=dprev)
+    out = y.reshape(B, C, n)
+
+    if C >= 2:
+        m = methods[:, None]
+        c0, c1 = out[:, 0], out[:, 1]
+        c0_ms = c0 - (c1 >> 1)
+        c0 = jnp.where(m == 1, c0_ms, c0)
+        c1 = jnp.where(m == 1, c1 + c0_ms, c1)
+        c1 = jnp.where(m == 2, out[:, 1] + out[:, 0], c1)
+        c0 = jnp.where(m == 3, out[:, 1] - out[:, 0], c0)
+        out = jnp.concatenate([c0[:, None], c1[:, None], out[:, 2:]], axis=1)
+    return out << lshift
+
+
 def _shift_to_start(words: jnp.ndarray, start_bits: jnp.ndarray):
     """Left-shift each row's bitstream so start_bits lands at bit 0.
 
@@ -489,31 +633,7 @@ def decode_blocks_device2(words, start_bits, orders, rshifts, coefs,
     snap, counts, azmask = _entropy_scan(sw.T, n, C)
     res = _assemble(snap, counts, azmask, n, C)          # (B, C, n)
     ovf = jnp.zeros((B,), bool)
-
-    R = B * C
-    resR = res.reshape(R, n)
-    ordR = orders.reshape(R)
-    rshR = rshifts.reshape(R)
-    aligned = _align_coefs(coefs.reshape(R, -1)[:, :M], ordR, M)
-    dcoef = pre_coef.reshape(R)
-    dprev = pre_prev.reshape(R).astype(jnp.int32)
-    if has_ltp:
-        v = _lpc_scan(resR, aligned, ordR, rshR, n, M)
-        y = _ltp_pass(v, ltp_orders.reshape(R), ltp_periods.reshape(R),
-                      ltp_coefs.reshape(R, -1), n)
-        y = _deemph_scan(y, dcoef, dprev)
-    else:
-        y = _lpc_scan(resR, aligned, ordR, rshR, n, M, dcoef=dcoef,
-                      dprev=dprev)
-    out = y.reshape(B, C, n)
-
-    if C >= 2:
-        m = methods[:, None]
-        c0, c1 = out[:, 0], out[:, 1]
-        c0_ms = c0 - (c1 >> 1)
-        c0 = jnp.where(m == 1, c0_ms, c0)
-        c1 = jnp.where(m == 1, c1 + c0_ms, c1)
-        c1 = jnp.where(m == 2, out[:, 1] + out[:, 0], c1)
-        c0 = jnp.where(m == 3, out[:, 1] - out[:, 0], c0)
-        out = jnp.concatenate([c0[:, None], c1[:, None], out[:, 2:]], axis=1)
-    return out << lshift, ovf
+    out = _synthesize(res, orders, rshifts, coefs, ltp_orders, ltp_periods,
+                      ltp_coefs, pre_coef, pre_prev, methods, lshift,
+                      n=n, C=C, M=M, has_ltp=has_ltp)
+    return out, ovf
