@@ -11,12 +11,30 @@ import numpy as np
 
 _BLOCK = 5802
 
+_native = None
+_native_tried = False
+
 
 def _mod255(x: int) -> int:
     return (x + x // 255) & 0xFF
 
 
 def fletcher16(data: bytes | np.ndarray) -> int:
+    global _native, _native_tried
+    if not _native_tried:
+        _native_tried = True
+        try:
+            from . import native_decoder
+            _native = native_decoder._load()
+        except Exception:
+            _native = None
+    if _native is not None:
+        b = bytes(data)
+        return int(_native.srla_fletcher16(b, len(b)))
+    return _fletcher16_np(data)
+
+
+def _fletcher16_np(data: bytes | np.ndarray) -> int:
     buf = np.frombuffer(bytes(data), dtype=np.uint8).astype(np.uint64)
     c0, c1 = 0, 0
     for start in range(0, len(buf), _BLOCK):

@@ -121,6 +121,8 @@ def _load():
         [ctypes.c_int] * 4 + [ctypes.c_void_p] * 6 + [ctypes.c_int]
         + [ctypes.c_void_p] * 4 + [ctypes.c_int] + [ctypes.c_void_p] * 6
         + [ctypes.c_void_p, ctypes.c_long])
+    lib.srla_fletcher16.restype = ctypes.c_uint16
+    lib.srla_fletcher16.argtypes = [ctypes.c_char_p, ctypes.c_long]
     return lib
 
 
