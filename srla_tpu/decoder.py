@@ -279,7 +279,14 @@ class SRLADecoder:
     # uint32 pages (compile key = page count, bucketed on _PAGE_LADDER);
     # trailing pages reuse one shared zero buffer so padding is never
     # re-uploaded. Block windows are cut on device (_stage_from_flat).
+    # The page cache is PROCESS-GLOBAL (keyed by the stream object's
+    # identity, holding a reference so ids can't be recycled): repeated
+    # decodes of the same stream — seeks, players, per-group calls — pay
+    # the H2D transfer once. Profiled: the 15.5 MB upload for 120 s audio
+    # costs 0.2-1.3 s through this link vs 208 ms of device compute.
     _PAGE_WORDS = 131072
+    _PAGE_CACHE_MAX = 4
+    _page_cache: "dict[int, tuple]" = {}
 
     _zero_page = None
 
@@ -287,9 +294,10 @@ class SRLADecoder:
         """Upload the stream as exact-size pages (plus >= 1 page of zero
         slack so every per-row (W+1)-word slice gather stays in bounds)."""
         import jax.numpy as jnp
-        key = (id(data), len(data))
-        if getattr(self, "_pages_key", None) == key:
-            return self._pages_val
+        cache = SRLADecoder._page_cache
+        hit = cache.get(id(data))
+        if hit is not None and hit[0] is data:
+            return hit[1]
         PW = self._PAGE_WORDS
         raw = np.frombuffer(data, np.uint8)
         ndata = (len(raw) + 4 * PW - 1) // (4 * PW)
@@ -308,9 +316,10 @@ class SRLADecoder:
                 SRLADecoder._zero_page.shape[0] != PW:
             SRLADecoder._zero_page = jnp.zeros(PW, jnp.uint32)
         pages.extend([SRLADecoder._zero_page] * (total - ndata))
-        self._pages_key = key
-        self._pages_val = tuple(pages)
-        return self._pages_val
+        if len(cache) >= self._PAGE_CACHE_MAX:
+            cache.pop(next(iter(cache)))
+        cache[id(data)] = (data, tuple(pages))
+        return cache[id(data)][1]
 
     def _decode_whole_device(self, data: bytes,
                              header: StreamHeader) -> np.ndarray:
