@@ -1055,7 +1055,7 @@ class SRLAEncoder:
         args = self._device_args(size)
         small, flat = encode_blocks_exact(
             padded, np.int32(offset_lshift), C=C, W=W,
-            impl=os.environ.get("SRLA_PACK_IMPL", "scatter"),
+            impl=os.environ.get("SRLA_PACK_IMPL", "flat"),
             ltp_order=self.p.ltp_order,
             svr_iter=self.p.num_svr_filter_learning_iteration,
             margins=tuple(self.preset.margin_list), **args)

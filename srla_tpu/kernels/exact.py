@@ -1378,16 +1378,45 @@ def encode_blocks_exact(blocks: jnp.ndarray, lshift, *, n: int, bps: int,
     csum = jnp.cumsum(lens_w)
     starts = (csum - lens_w).astype(jnp.int32)
     K = Bp * C
-
-    words, _, ovf = pack_residual_sections(
-        u[rows], out["code_type"][rows], out["porder"][rows],
-        out["ks"][rows], n, W, impl)
     cap = K * W
-    j = jnp.arange(cap, dtype=jnp.int32)
-    seg = jnp.clip(jnp.searchsorted(starts, j, side="right") - 1, 0, K - 1)
-    col = j - starts[seg]
-    ok = (col >= 0) & (col < lens_w[seg])
-    flat = jnp.where(ok, words[seg, jnp.clip(col, 0, W - 1)], 0)
+
+    if impl == "flat":
+        # Absolute-offset grouped-window pack: every chosen row's section is
+        # packed straight at its final flat position (starts from the lens_w
+        # cumsum), producing the compacted output in ONE scatter-free pass.
+        # Replaces per-row scatter pack (measured 359 ms at 256-block chunks
+        # on v5e — ~70 ns/index) + searchsorted row compaction (178 ms) with
+        # ~ms of elementwise/cumsum work.
+        from .bitpack import pack_flat_stream, residual_codewords
+        (offs, tails, tbits), _tot = residual_codewords(
+            u[rows], out["code_type"][rows], out["porder"][rows],
+            out["ks"][rows], n)
+        skip_r = skip.reshape(-1)
+        # Skipped rows collapse onto their (zero-length) boundary so the
+        # flattened offset stream stays monotone for the group anchors.
+        offs = jnp.where(skip_r[:, None], 0, offs) + starts[:, None] * 32
+        tbits = jnp.where(skip_r[:, None], 0, tbits)
+        T = offs.shape[1]
+        G = 64
+        padT = (-T) % G
+        if padT:
+            endo = offs[:, -1:] + tbits[:, -1:]      # running cursor
+            offs = jnp.concatenate(
+                [offs, jnp.broadcast_to(endo, (K, padT))], axis=1)
+            tails = jnp.pad(tails, ((0, 0), (0, padT)))
+            tbits = jnp.pad(tbits, ((0, 0), (0, padT)))
+        flat, g_ovf = pack_flat_stream(offs, tails, tbits, cap, G=G)
+        ovf = jnp.any(g_ovf, axis=1)
+    else:
+        words, _, ovf = pack_residual_sections(
+            u[rows], out["code_type"][rows], out["porder"][rows],
+            out["ks"][rows], n, W, impl)
+        j = jnp.arange(cap, dtype=jnp.int32)
+        seg = jnp.clip(jnp.searchsorted(starts, j, side="right") - 1, 0,
+                       K - 1)
+        col = j - starts[seg]
+        ok = (col >= 0) & (col < lens_w[seg])
+        flat = jnp.where(ok, words[seg, jnp.clip(col, 0, W - 1)], 0)
 
     small["method"] = method
     small["bits"] = bits

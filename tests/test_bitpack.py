@@ -95,3 +95,57 @@ def test_pallas_pack_interpret_matches_reference():
             np.packbits(bits[i * 32:(i + 1) * 32]).tobytes(), "big")
             for i in range(W)], dtype=np.uint64)
         assert (words[v] == ref.astype(np.uint32)).all()
+
+
+def test_pack_flat_stream_matches_scatter_compaction():
+    """The absolute-offset grouped-window pack (TPU default) must emit the
+    same compacted flat stream as the per-row scatter pack + row compaction
+    it replaced (parity: both are fed the same residual_codewords stream)."""
+    import jax.numpy as jnp
+
+    from srla_tpu.kernels.bitpack import (pack_flat_stream,
+                                          pack_residual_sections,
+                                          residual_codewords)
+    rng = np.random.RandomState(7)
+    n, K = 1024, 12
+    res = (rng.laplace(0, 18, size=(K, n))).astype(np.int32)
+    res[3] = 0                                    # allzero section
+    res[5] = (rng.laplace(0, 40000, size=n)).astype(np.int32)  # recursive
+    ct, po, bits, ks = rice.analyze_batch(res, n)
+    u = jnp.asarray(sint32_to_uint32(res).astype(np.uint32))
+    ct, po = jnp.asarray(ct), jnp.asarray(po)
+    ks = jnp.asarray(ks.astype(np.int32))
+    W = int(np.asarray(bits).max() // 32 + 8)
+    sec = jnp.asarray(bits.astype(np.int32))
+    skip = np.zeros(K, bool)
+    skip[4] = True                                # a host-repair row
+    lens_w = jnp.where(jnp.asarray(skip), 0, (sec + 31) // 32)
+    csum = jnp.cumsum(lens_w)
+    starts = (csum - lens_w).astype(jnp.int32)
+    cap = K * W
+
+    # Old path: per-row pack + searchsorted compaction.
+    words, _, _ = pack_residual_sections(u, ct, po, ks, n, W, "scatter")
+    j = jnp.arange(cap, dtype=jnp.int32)
+    seg = jnp.clip(jnp.searchsorted(starts, j, side="right") - 1, 0, K - 1)
+    col = j - starts[seg]
+    ok = (col >= 0) & (col < lens_w[seg])
+    want = np.asarray(jnp.where(ok, words[seg, jnp.clip(col, 0, W - 1)], 0))
+
+    # New path: absolute offsets, one flat grouped-window pass.
+    (offs, tails, tbits), _tot = residual_codewords(u, ct, po, ks, n)
+    offs = jnp.where(jnp.asarray(skip)[:, None], 0, offs) \
+        + starts[:, None] * 32
+    tbits = jnp.where(jnp.asarray(skip)[:, None], 0, tbits)
+    G = 64
+    padT = (-offs.shape[1]) % G
+    if padT:
+        endo = offs[:, -1:] + tbits[:, -1:]
+        offs = jnp.concatenate(
+            [offs, jnp.broadcast_to(endo, (K, padT))], axis=1)
+        tails = jnp.pad(tails, ((0, 0), (0, padT)))
+        tbits = jnp.pad(tbits, ((0, 0), (0, padT)))
+    flat, g_ovf = pack_flat_stream(offs, tails, tbits, cap, G=G)
+    assert not np.asarray(g_ovf).any()
+    total = int(np.asarray(lens_w).sum())
+    np.testing.assert_array_equal(np.asarray(flat)[:total], want[:total])
