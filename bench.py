@@ -62,9 +62,13 @@ def main():
     print(f"bench: warm-up (compile) {time.time() - t_w:.1f}s",
           file=sys.stderr)
 
-    # Best of three measured runs (the device tunnel here has high variance).
+    # Best of five measured runs: the tunnel's per-dispatch latency and the
+    # host's available CPU (the tunnel client's background threads) both
+    # swing several-fold between one-second windows; more samples make the
+    # reported steady-state less of a lottery (measured 31x..124x for the
+    # identical build within one hour).
     times = []
-    for _ in range(3):
+    for _ in range(5):
         t0 = time.time()
         stream = encode(pcm, 16, rate, preset=4, backend=backend)
         times.append(time.time() - t0)

@@ -1011,6 +1011,16 @@ class SRLAEncoder:
             pos += B
         return stack
 
+    @staticmethod
+    def _pack_impl() -> str:
+        """Default residual-pack implementation: the scatter-free flat
+        grouped-window pack on TPU (scatter measured ~70 ns/index there —
+        the dominant encode cost before round 3); plain scatter elsewhere
+        (cheap on XLA:CPU, and the flat pack's unrolled frame loop costs
+        minutes of XLA:CPU compile per shape, which would bloat CI)."""
+        import jax
+        return "flat" if jax.default_backend() == "tpu" else "scatter"
+
     def _device_dispatch(self, pcm, spans, idxs, size: int,
                          offset_lshift: int) -> dict:
         """Upload one equal-size group and dispatch its on-device analysis
@@ -1055,7 +1065,7 @@ class SRLAEncoder:
         args = self._device_args(size)
         small, flat = encode_blocks_exact(
             padded, np.int32(offset_lshift), C=C, W=W,
-            impl=os.environ.get("SRLA_PACK_IMPL", "flat"),
+            impl=os.environ.get("SRLA_PACK_IMPL", self._pack_impl()),
             ltp_order=self.p.ltp_order,
             svr_iter=self.p.num_svr_filter_learning_iteration,
             margins=tuple(self.preset.margin_list), **args)

@@ -134,3 +134,20 @@ def test_flag_rate_on_music_like():
         max_porder=_max_porder(n), C=C)
     risky = np.asarray(jax.device_get(small["risky"]))
     assert risky.mean() <= 0.02, f"music flag rate {risky.mean()}"
+
+
+def test_flat_pack_impl_stream_identical(monkeypatch):
+    """The TPU-default flat pack (absolute-offset grouped-window,
+    kernels/bitpack.py pack_flat_stream) must emit byte-identical streams
+    to the scatter pack through the full fused-encode wiring (selection,
+    skip rows, raw fallbacks). Small shape: the flat frame loop costs real
+    XLA:CPU compile time."""
+    import signals
+    from srla_tpu import encode
+
+    pcm = signals.ALL["white_noise"](4096, 2, 16)
+    monkeypatch.setenv("SRLA_PACK_IMPL", "scatter")
+    want = encode(pcm, 16, 44100, preset=2, max_block=1024, backend="tpu")
+    monkeypatch.setenv("SRLA_PACK_IMPL", "flat")
+    got = encode(pcm, 16, 44100, preset=2, max_block=1024, backend="tpu")
+    assert got == want
