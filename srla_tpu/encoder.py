@@ -760,11 +760,57 @@ class SRLAEncoder:
                            for i in idxs])
         method, params, _bits = self._compute_coefficients(
             blocks.astype(np.int32), size, offset_lshift)
-        out = {i: self._finish_block(pcm, spans, i, size, params,
-                                     int(method[bi]), bi, C)
-               for bi, i in enumerate(idxs)}
+        out = self._emit_host_batch(pcm, spans, idxs, size, method, params, C)
         self.stats["host_blocks"] += len(idxs)
         self._report_progress(len(idxs) * size)
+        return out
+
+    def _emit_host_batch(self, pcm, spans, idxs, size, method, params,
+                         C) -> dict[int, bytes]:
+        """Frame a host-analyzed batch. One native emit call covers every
+        block (per-block emit_payload spent ~0.15 s in ctypes marshalling
+        per 2 min of audio); rows it cannot represent (raw cheaper,
+        coefficient outside the Huffman tables) fall back per block."""
+        from . import native_decoder as nd
+        B = len(idxs)
+        if not nd.available():
+            return {i: self._finish_block(pcm, spans, i, size, params,
+                                          int(method[bi]), bi, C)
+                    for bi, i in enumerate(idxs)}
+        ltp_o = self.p.ltp_order
+        stack = lambda f: np.stack([f(p) for p in params], axis=1)  # noqa
+        framed, sizes = nd.emit_blocks_batch(
+            C, self.p.bits_per_sample, size, np.asarray(method)[:B],
+            stack(lambda p: p.pre_prev), stack(lambda p: p.pre_coef),
+            stack(lambda p: p.lpc_order), stack(lambda p: p.lpc_rshift),
+            stack(lambda p: p.use_sum_coef.astype(np.int32)),
+            np.stack([p.lpc_coefs for p in params], axis=1),
+            ltp_o if ltp_o > 0 else 1,
+            stack(lambda p: p.ltp_period) if ltp_o > 0 else None,
+            np.stack([p.ltp_coefs for p in params], axis=1)
+            if ltp_o > 0 else None,
+            [p.residual[:, :size] for p in params],
+            [p.rice_ks for p in params],
+            stack(lambda p: p.rice_type), stack(lambda p: p.rice_porder))
+        if framed is None:
+            return {i: self._finish_block(pcm, spans, i, size, params,
+                                          int(method[bi]), bi, C)
+                    for bi, i in enumerate(idxs)}
+        out: dict[int, bytes] = {}
+        off = 0
+        for bi, i in enumerate(idxs):
+            sz = int(sizes[bi])
+            if sz > 0:
+                out[i] = framed[off:off + sz]
+                off += sz
+            elif sz == 0:
+                blk = pcm[:, spans[i][0]:spans[i][0] + size]
+                out[i] = frame_block(
+                    BlockDataType.RAW, size,
+                    self._raw_payload(blk.astype(np.int32), size))
+            else:
+                out[i] = self._finish_block(pcm, spans, i, size, params,
+                                            int(method[bi]), bi, C)
         return out
 
     # Hybrid scheduling knobs. Chunk sizes trade steal granularity against

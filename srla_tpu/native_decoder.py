@@ -123,6 +123,11 @@ def _load():
         + [ctypes.c_void_p, ctypes.c_long])
     lib.srla_fletcher16.restype = ctypes.c_uint16
     lib.srla_fletcher16.argtypes = [ctypes.c_char_p, ctypes.c_long]
+    lib.srla_emit_blocks_batch.restype = ctypes.c_long
+    lib.srla_emit_blocks_batch.argtypes = (
+        [ctypes.c_long] + [ctypes.c_int] * 4 + [ctypes.c_void_p] * 7
+        + [ctypes.c_void_p] * 4 + [ctypes.c_int] + [ctypes.c_void_p] * 6
+        + [ctypes.c_void_p, ctypes.c_long, ctypes.c_void_p])
     return lib
 
 
@@ -382,6 +387,55 @@ def emit_payload(C, bps, n, method, pre_prev, pre_coef, orders, rshifts,
     if bits < 0:
         return None, int(bits)
     return out[:(bits + 7) // 8].tobytes(), int(bits)
+
+
+def emit_blocks_batch(C, bps, n, method, pre_prev, pre_coef, orders,
+                      rshifts, use_sum, coefs, ltp_order, ltp_periods,
+                      ltp_coefs, res_ch, ks_ch, rice_ct, rice_po):
+    """Native batched COMPRESS block emission + framing -> (bytes, sizes).
+
+    One call for a whole equal-size block batch (the per-block ctypes
+    marshalling of emit_payload measured ~0.15 s per 1292-block encode).
+    method (B,); per-channel params (B, C) int32; coefs (B, C, maxorder);
+    res_ch / ks_ch: C per-channel arrays (B, n) int32 / (B, >=nparts) ks.
+    sizes[b]: framed bytes at the running offset, 0 = raw is cheaper
+    (caller emits a RAW block), -2 = coefficient outside the Huffman
+    tables (caller uses its Python path)."""
+    lib = _load()
+    (pcodes, plens), (scodes, slens) = _code_tables()
+    B = len(method)
+
+    def ci(a):
+        return np.ascontiguousarray(a, np.int32)
+
+    def vp(a):
+        return a.ctypes.data_as(ctypes.c_void_p) if a is not None else None
+
+    coefs = ci(coefs)
+    res_ch = [ci(r) for r in res_ch]
+    ks16 = []
+    for c in range(C):
+        k = np.zeros((B, 1024), np.int16)
+        src = np.asarray(ks_ch[c])
+        k[:, :min(1024, src.shape[1])] = src[:, :1024]
+        ks16.append(k)
+    res_ptrs = (ctypes.c_void_p * C)(*[vp(r).value for r in res_ch])
+    ks_ptrs = (ctypes.c_void_p * C)(*[vp(k).value for k in ks16])
+    cap = B * ((bps * n * C) // 8 + 80)
+    out = np.empty(cap, np.uint8)
+    sizes = np.empty(B, np.int64)
+    total = lib.srla_emit_blocks_batch(
+        B, C, bps, n, coefs.shape[2], vp(ci(method)), vp(ci(pre_prev)),
+        vp(ci(pre_coef)), vp(ci(orders)), vp(ci(rshifts)), vp(ci(use_sum)),
+        vp(coefs), vp(pcodes), vp(plens), vp(scodes), vp(slens),
+        int(ltp_order),
+        vp(ci(ltp_periods)) if ltp_periods is not None else None,
+        vp(ci(ltp_coefs)) if ltp_coefs is not None else None,
+        res_ptrs, ks_ptrs, vp(ci(rice_ct)), vp(ci(rice_po)),
+        vp(out), cap, vp(sizes))
+    if total < 0:
+        return None, None
+    return out[:total].tobytes(), sizes
 
 
 def rice_search_batch(residuals: np.ndarray, n: int, max_porder: int):
