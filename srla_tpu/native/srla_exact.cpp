@@ -206,6 +206,64 @@ void srla_window_autocorr_batch(
     delete[] buf;
 }
 
+#if defined(SRLA_X86_SIMD)
+static inline bool srla_has_avx2() {
+    static const bool ok = __builtin_cpu_supports("avx2");
+    return ok;
+}
+
+// AVX2 integer code-length sums for the Rice search (exact: logical-shift
+// and wrapping-subtract lanes match the scalar semantics bit-for-bit; the
+// two loops were the largest host-encode term at 0.27 s / 2 min of audio).
+__attribute__((target("avx2")))
+static int64_t rice_sum_shift_avx2(const uint32_t *u, int n, int k) {
+    const __m128i kc = _mm_cvtsi32_si128(k);
+    const __m256i zero = _mm256_setzero_si256();
+    __m256i acc = _mm256_setzero_si256();
+    int i = 0;
+    for (; i + 8 <= n; i += 8) {
+        __m256i v = _mm256_loadu_si256((const __m256i *)(u + i));
+        v = _mm256_srl_epi32(v, kc);
+        acc = _mm256_add_epi64(acc, _mm256_add_epi64(
+            _mm256_unpacklo_epi32(v, zero), _mm256_unpackhi_epi32(v, zero)));
+    }
+    alignas(32) int64_t lanes[4];
+    _mm256_store_si256((__m256i *)lanes, acc);
+    int64_t s = lanes[0] + lanes[1] + lanes[2] + lanes[3];
+    for (; i < n; i++) s += u[i] >> k;
+    return s;
+}
+
+// Recursive-Rice overflow sum: d = (int32)(u[i] - (uint32)k1pow);
+// if (d > 0) s += d >> k.  d > 0 implies the arithmetic and logical shifts
+// agree; negative lanes are masked out.
+__attribute__((target("avx2")))
+static int64_t rice_sum_rec_avx2(const uint32_t *u, int n, uint32_t k1pow32,
+                                 int k) {
+    const __m128i kc = _mm_cvtsi32_si128(k);
+    const __m256i zero = _mm256_setzero_si256();
+    const __m256i kp = _mm256_set1_epi32((int32_t)k1pow32);
+    __m256i acc = _mm256_setzero_si256();
+    int i = 0;
+    for (; i + 8 <= n; i += 8) {
+        __m256i v = _mm256_loadu_si256((const __m256i *)(u + i));
+        __m256i d = _mm256_sub_epi32(v, kp);
+        __m256i pos = _mm256_cmpgt_epi32(d, zero);
+        d = _mm256_and_si256(pos, _mm256_srl_epi32(d, kc));
+        acc = _mm256_add_epi64(acc, _mm256_add_epi64(
+            _mm256_unpacklo_epi32(d, zero), _mm256_unpackhi_epi32(d, zero)));
+    }
+    alignas(32) int64_t lanes[4];
+    _mm256_store_si256((__m256i *)lanes, acc);
+    int64_t s = lanes[0] + lanes[1] + lanes[2] + lanes[3];
+    for (; i < n; i++) {
+        int32_t d = (int32_t)(u[i] - k1pow32);
+        if (d > 0) s += d >> k;
+    }
+    return s;
+}
+#endif
+
 // Batched Rice partition search (exact; same decisions as the reference).
 // residuals: (V, n) int32. Outputs per variant: code_type, best_porder,
 // min_bits, ks (V, 1024) int16.
@@ -266,6 +324,12 @@ void srla_rice_search_batch(
                     const int64_t k1pow = (int64_t)1 << (k + 1);
                     int64_t rb = 0;
                     const uint32_t *up = u + part * nsmpl;
+#if defined(SRLA_X86_SIMD)
+                    if (srla_has_avx2()) {
+                        rb = rice_sum_rec_avx2(up, nsmpl, (uint32_t)k1pow,
+                                               k);
+                    } else
+#endif
                     for (int i = 0; i < nsmpl; i++) {
                         // reference computes this difference in int32
                         int32_t d = (int32_t)((uint32_t)up[i]
@@ -291,6 +355,11 @@ void srla_rice_search_batch(
                     k = (int32_t)r;
                     int64_t rb = 0;
                     const uint32_t *up = u + part * nsmpl;
+#if defined(SRLA_X86_SIMD)
+                    if (srla_has_avx2()) {
+                        rb = rice_sum_shift_avx2(up, nsmpl, k);
+                    } else
+#endif
                     for (int i = 0; i < nsmpl; i++) rb += up[i] >> k;
                     bits += (int64_t)(k + 1) * nsmpl + rb;
                 }
@@ -320,11 +389,6 @@ void srla_rice_search_batch(
 }
 
 #if defined(SRLA_X86_SIMD)
-static inline bool srla_has_avx2() {
-    static const bool ok = __builtin_cpu_supports("avx2");
-    return ok;
-}
-
 // 4 samples per iteration: vpmuldq multiplies the signed low-32 lanes of
 // each 64-bit element, giving exact int32*int32->int64 products; wrapping
 // truncation to int32 at the end, identical to the scalar path. Returns the
