@@ -126,6 +126,168 @@ inline uint32_t zigzag32(int32_t v) {
     return ((uint32_t)(v >> 31)) ^ ((uint32_t)v << 1);
 }
 
+#if defined(SRLA_X86_SIMD)
+static inline bool srla_has_avx2_f() {
+    static const bool ok = __builtin_cpu_supports("avx2");
+    return ok;
+}
+
+// Four-variant SoA twin of complex_fft/real_fft: lane l of every __m256d
+// carries variant l's value, so each lane executes EXACTLY the scalar op
+// sequence (only _mm256_{add,sub,mul}_pd — explicit intrinsics are never
+// FMA-contracted, preserving the reference's per-op rounding). Layout:
+// element i of the packed buffer lives at base[8*i + l] (re) / [8*i+4+l]
+// (im) — i.e. Cplx4 = {re[4], im[4]}.
+struct Cplx4 { __m256d re, im; };
+
+__attribute__((target("avx2")))
+static inline Cplx4 cmul4(Cplx4 a, Cplx4 b) {
+    return {_mm256_sub_pd(_mm256_mul_pd(a.re, b.re),
+                          _mm256_mul_pd(a.im, b.im)),
+            _mm256_add_pd(_mm256_mul_pd(a.re, b.im),
+                          _mm256_mul_pd(a.im, b.re))};
+}
+
+__attribute__((target("avx2")))
+static inline Cplx4 ld4(const double *p) {
+    return {_mm256_loadu_pd(p), _mm256_loadu_pd(p + 4)};
+}
+
+__attribute__((target("avx2")))
+static inline void st4(double *p, Cplx4 v) {
+    _mm256_storeu_pd(p, v.re);
+    _mm256_storeu_pd(p + 4, v.im);
+}
+
+__attribute__((target("avx2")))
+static void complex_fft_x4(int n, int flag, double *x, double *y,
+                           const double *tw) {
+    int s = 1;
+    double *src = x;
+    const __m256d ji = _mm256_set1_pd(-(double)flag);
+    const __m256d zero = _mm256_setzero_pd();
+    const auto ld = ld4;
+    const auto st = st4;
+    while (n > 2) {
+        const int n1 = n >> 2;
+        const int n2 = n >> 1;
+        const int n3 = n1 + n2;
+        for (int p = 0; p < n1; p++) {
+            const Cplx4 w1 = {_mm256_set1_pd(tw[6 * p + 0]),
+                              _mm256_set1_pd(tw[6 * p + 1])};
+            const Cplx4 w2 = {_mm256_set1_pd(tw[6 * p + 2]),
+                              _mm256_set1_pd(tw[6 * p + 3])};
+            const Cplx4 w3 = {_mm256_set1_pd(tw[6 * p + 4]),
+                              _mm256_set1_pd(tw[6 * p + 5])};
+            for (int q = 0; q < s; q++) {
+                const Cplx4 a = ld(x + 8 * (q + s * (p + 0)));
+                const Cplx4 b = ld(x + 8 * (q + s * (p + n1)));
+                const Cplx4 c = ld(x + 8 * (q + s * (p + n2)));
+                const Cplx4 d = ld(x + 8 * (q + s * (p + n3)));
+                const Cplx4 apc = {_mm256_add_pd(a.re, c.re),
+                                   _mm256_add_pd(a.im, c.im)};
+                const Cplx4 amc = {_mm256_sub_pd(a.re, c.re),
+                                   _mm256_sub_pd(a.im, c.im)};
+                const Cplx4 bpd = {_mm256_add_pd(b.re, d.re),
+                                   _mm256_add_pd(b.im, d.im)};
+                const Cplx4 bmd = {_mm256_sub_pd(b.re, d.re),
+                                   _mm256_sub_pd(b.im, d.im)};
+                // (0*re - ji*im, 0*im + ji*re): keep the 0.0* terms — they
+                // set signed zeros exactly like the scalar path.
+                const Cplx4 jbmd = {
+                    _mm256_sub_pd(_mm256_mul_pd(zero, bmd.re),
+                                  _mm256_mul_pd(ji, bmd.im)),
+                    _mm256_add_pd(_mm256_mul_pd(zero, bmd.im),
+                                  _mm256_mul_pd(ji, bmd.re))};
+                st(y + 8 * (q + s * ((p << 2) + 0)),
+                   {_mm256_add_pd(apc.re, bpd.re),
+                    _mm256_add_pd(apc.im, bpd.im)});
+                st(y + 8 * (q + s * ((p << 2) + 1)),
+                   cmul4(w1, {_mm256_sub_pd(amc.re, jbmd.re),
+                              _mm256_sub_pd(amc.im, jbmd.im)}));
+                st(y + 8 * (q + s * ((p << 2) + 2)),
+                   cmul4(w2, {_mm256_sub_pd(apc.re, bpd.re),
+                              _mm256_sub_pd(apc.im, bpd.im)}));
+                st(y + 8 * (q + s * ((p << 2) + 3)),
+                   cmul4(w3, {_mm256_add_pd(amc.re, jbmd.re),
+                              _mm256_add_pd(amc.im, jbmd.im)}));
+            }
+        }
+        tw += 6 * n1;
+        n >>= 2;
+        s <<= 2;
+        double *t = x; x = y; y = t;
+    }
+    if (n == 2) {
+        for (int q = 0; q < s; q++) {
+            const Cplx4 a = ld(x + 8 * q);
+            const Cplx4 b = ld(x + 8 * (q + s));
+            st(y + 8 * q, {_mm256_add_pd(a.re, b.re),
+                           _mm256_add_pd(a.im, b.im)});
+            st(y + 8 * (q + s), {_mm256_sub_pd(a.re, b.re),
+                                 _mm256_sub_pd(a.im, b.im)});
+        }
+        s <<= 1;
+        double *t = x; x = y; y = t;
+    }
+    if (src != x) memcpy(y, x, sizeof(double) * 8 * (size_t)s);
+}
+
+// Packed real FFT over the x4 layout: real element i lives at
+// buf[8*(i/2) + (i&1)*4 + l] (even i = "re" slot, odd i = "im" slot of the
+// half-size complex view) — identical aliasing to the scalar code's
+// (Cplx *)x cast.
+__attribute__((target("avx2")))
+static void real_fft_x4(int n, int flag, double *x, double *work,
+                        const double *tw, const double *rotors) {
+    auto at = [&](int i) -> double * { return x + 8 * (i >> 1) + 4 * (i & 1); };
+    const __m256d c2 = _mm256_set1_pd(flag * 0.5);
+    const __m256d half = _mm256_set1_pd(0.5);
+    const __m256d mzero = _mm256_set1_pd(-0.0);
+    if (flag == -1) complex_fft_x4(n >> 1, -1, x, work, tw);
+    const int count = n >> 2;
+    for (int i = 1; i <= count; i++) {
+        const int i1 = i << 1;
+        const int i2 = i1 + 1;
+        const int i3 = n - i1;
+        const int i4 = i3 + 1;
+        const __m256d wr = _mm256_set1_pd(rotors[2 * (i - 1)]);
+        const __m256d wi = _mm256_set1_pd(rotors[2 * (i - 1) + 1]);
+        const __m256d x1 = _mm256_loadu_pd(at(i1));
+        const __m256d x2 = _mm256_loadu_pd(at(i2));
+        const __m256d x3 = _mm256_loadu_pd(at(i3));
+        const __m256d x4 = _mm256_loadu_pd(at(i4));
+        const __m256d h1r = _mm256_mul_pd(half, _mm256_add_pd(x1, x3));
+        const __m256d h1i = _mm256_mul_pd(half, _mm256_sub_pd(x2, x4));
+        const __m256d h2r = _mm256_mul_pd(
+            _mm256_xor_pd(c2, mzero), _mm256_add_pd(x2, x4));
+        const __m256d h2i = _mm256_mul_pd(c2, _mm256_sub_pd(x1, x3));
+        const __m256d wh2r = _mm256_mul_pd(wr, h2r);
+        const __m256d wh2i_r = _mm256_mul_pd(wi, h2i);
+        const __m256d wh2i = _mm256_mul_pd(wr, h2i);
+        const __m256d wh2r_i = _mm256_mul_pd(wi, h2r);
+        _mm256_storeu_pd(at(i1), _mm256_sub_pd(_mm256_add_pd(h1r, wh2r),
+                                               wh2i_r));
+        _mm256_storeu_pd(at(i2), _mm256_add_pd(_mm256_add_pd(h1i, wh2i),
+                                               wh2r_i));
+        _mm256_storeu_pd(at(i3), _mm256_add_pd(_mm256_sub_pd(h1r, wh2r),
+                                               wh2i_r));
+        _mm256_storeu_pd(at(i4), _mm256_add_pd(
+            _mm256_add_pd(_mm256_xor_pd(h1i, mzero), wh2i), wh2r_i));
+    }
+    const __m256d h1r = _mm256_loadu_pd(at(0));
+    const __m256d x1v = _mm256_loadu_pd(at(1));
+    if (flag == -1) {
+        _mm256_storeu_pd(at(0), _mm256_add_pd(h1r, x1v));
+        _mm256_storeu_pd(at(1), _mm256_sub_pd(h1r, x1v));
+    } else {
+        _mm256_storeu_pd(at(0), _mm256_mul_pd(half, _mm256_add_pd(h1r, x1v)));
+        _mm256_storeu_pd(at(1), _mm256_mul_pd(half, _mm256_sub_pd(h1r, x1v)));
+        complex_fft_x4(n >> 1, 1, x, work, tw);
+    }
+}
+#endif  // SRLA_X86_SIMD
+
 }  // namespace
 
 extern "C" {
@@ -180,7 +342,53 @@ void srla_window_autocorr_batch(
     double *buf = new double[fft_size];
     const double scale = 2.0 / n;
     const int take = order < fft_size ? order : fft_size;
-    for (long v = 0; v < V; v++) {
+    long v0 = 0;
+#if defined(SRLA_X86_SIMD)
+    // Four variants per pass in SoA lanes: every lane executes the exact
+    // scalar op sequence (explicit non-FMA intrinsics), so results are
+    // bit-identical to the scalar path. raw_out callers (B=1 state
+    // threading) use the scalar loop below.
+    if (srla_has_avx2_f() && !raw_out && V >= 4) {
+        double *buf4 = new double[(size_t)fft_size * 4];
+        double *work4 = new double[(size_t)fft_size * 4];
+        for (; v0 + 4 <= V; v0 += 4) {
+            for (int l = 0; l < 4; l++) {
+                const int32_t *x = sig + (v0 + l) * (long)n;
+                for (int i = 0; i < n; i++)
+                    buf4[8 * (i >> 1) + 4 * (i & 1) + l] =
+                        ((double)x[i] * norm) * win[i];
+                if (has_mid)
+                    buf4[8 * ((n / 2) >> 1) + 4 * ((n / 2) & 1) + l] =
+                        mid_value;
+                for (int i = n; i < fft_size; i++)
+                    buf4[8 * (i >> 1) + 4 * (i & 1) + l] = 0.0;
+            }
+            real_fft_x4(fft_size, -1, buf4, work4, tw_fwd, rot_fwd);
+            for (int l = 0; l < 4; l++) {
+                buf4[l] *= buf4[l];
+                buf4[4 + l] *= buf4[4 + l];
+            }
+            for (int i = 2; i < fft_size; i += 2) {
+                double *re = buf4 + 8 * (i >> 1);
+                double *im = re + 4;
+                for (int l = 0; l < 4; l++) {
+                    re[l] = re[l] * re[l] + im[l] * im[l];
+                    im[l] = 0.0;
+                }
+            }
+            real_fft_x4(fft_size, 1, buf4, work4, tw_inv, rot_inv);
+            for (int l = 0; l < 4; l++) {
+                double *ac = auto_corr + (v0 + l) * (long)order;
+                for (int i = 0; i < take; i++)
+                    ac[i] = buf4[8 * (i >> 1) + 4 * (i & 1) + l] * scale;
+                for (int i = take; i < order; i++) ac[i] = 0.0;
+            }
+        }
+        delete[] buf4;
+        delete[] work4;
+    }
+#endif
+    for (long v = v0; v < V; v++) {
         const int32_t *x = sig + (long)v * n;
         for (int i = 0; i < n; i++) buf[i] = ((double)x[i] * norm) * win[i];
         if (has_mid) buf[n / 2] = mid_value;
