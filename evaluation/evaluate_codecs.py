@@ -300,6 +300,11 @@ def main():
                     help="Synthetic corpus file length")
     ap.add_argument("--per-file", default=None,
                     help="Also write per-file rows to this CSV")
+    ap.add_argument("--tpu-files", type=int, default=None,
+                    help="Measure the tpu backend on only the first N files"
+                         " (device-program compiles through a remote link"
+                         " cost minutes per new shape; other codecs still"
+                         " run the full corpus)")
     args = ap.parse_args()
     if args.grid:
         args.configs = GRID_CONFIGS
@@ -328,7 +333,10 @@ def main():
         ref_streams = {}
         for codec in codecs:
             agg = {}
-            for path in files:
+            cfiles = files
+            if codec == "srla_tpu[tpu]" and args.tpu_files:
+                cfiles = files[:args.tpu_files]
+            for path in cfiles:
                 if codec.startswith("srla_tpu"):
                     backend = codec.split("[")[1][:-1]
                     m, stream = measure_srla_tpu(path, cfg, backend)
