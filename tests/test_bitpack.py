@@ -149,3 +149,31 @@ def test_pack_flat_stream_matches_scatter_compaction():
     assert not np.asarray(g_ovf).any()
     total = int(np.asarray(lens_w).sum())
     np.testing.assert_array_equal(np.asarray(flat)[:total], want[:total])
+
+
+def test_pack_flat_stream_group_overflow_flagged():
+    """A >2A-word span inside one 64-entry group (possible only with
+    hostile/corrupt partition parameters, never from the optimal search)
+    must set that group's overflow flag and leave other rows' words
+    intact rather than corrupting silently."""
+    import jax.numpy as jnp
+
+    from srla_tpu.kernels.bitpack import pack_flat_stream
+    G = 64
+    R, T = 2, G
+    offs = np.zeros((R, T), np.int64)
+    tails = np.ones((R, T), np.uint32)
+    tbits = np.ones((R, T), np.int32)
+    # Row 0: entry 1 jumps 9000 bits ahead (a giant unary run) => its group
+    # frame (2*64 words = 4096 bits) cannot hold both ends.
+    offs[0] = 9000 + np.arange(T)
+    offs[0, 0] = 0
+    # Row 1: a normal tight section starting at word 300.
+    offs[1] = 300 * 32 + np.arange(T)
+    flat, ovf = pack_flat_stream(jnp.asarray(offs), jnp.asarray(tails),
+                                 jnp.asarray(tbits), 400, G=G)
+    ovf = np.asarray(ovf)
+    assert ovf[0].any() and not ovf[1].any()
+    # Row 1's words decode exactly: 64 consecutive 1-bits from bit 9600.
+    w = np.asarray(flat)
+    assert w[300] == 0xFFFFFFFF and w[301] == 0xFFFFFFFF
