@@ -604,24 +604,27 @@ void srla_rice_search_batch(
 __attribute__((target("avx2")))
 static int fir_rows_avx2(const int32_t *x, int32_t *r, const int32_t *c,
                          int o, int rs, int64_t half, int n) {
+    // The reference truncates the int64 accumulator to int32 BEFORE the
+    // arithmetic shift ((int32_t)(uint32_t)acc >> rs, lpc.c LPC_Predict),
+    // and 2^32-wrapping addition commutes with per-product truncation — so
+    // the whole dot runs exactly in wrapping int32 lanes: one vpmulld +
+    // vpaddd per tap for 8 outputs (the previous int64-lane form managed 4
+    // outputs with twice the work per tap).
+    const __m256i hv = _mm256_set1_epi32((int32_t)(uint32_t)half);
+    const __m128i rsv = _mm_cvtsi32_si128(rs);
     int s = o;
-    for (; s + 4 <= n; s += 4) {
-        __m256i acc = _mm256_set1_epi64x(half);
+    for (; s + 8 <= n; s += 8) {
+        __m256i acc = hv;
         const int32_t *base = x + s - o;
         for (int i = 0; i < o; i++) {
-            __m256i xv = _mm256_cvtepi32_epi64(
-                _mm_loadu_si128((const __m128i *)(base + i)));
-            acc = _mm256_add_epi64(
-                acc, _mm256_mul_epi32(xv, _mm256_set1_epi64x(c[i])));
+            __m256i xv = _mm256_loadu_si256((const __m256i *)(base + i));
+            acc = _mm256_add_epi32(
+                acc, _mm256_mullo_epi32(xv, _mm256_set1_epi32(c[i])));
         }
-        // Low 32 bits of each 64-bit lane -> 4 int32, arithmetic shift.
-        __m128i lo = _mm_castps_si128(_mm_shuffle_ps(
-            _mm_castsi128_ps(_mm256_castsi256_si128(acc)),
-            _mm_castsi128_ps(_mm256_extracti128_si256(acc, 1)),
-            _MM_SHUFFLE(2, 0, 2, 0)));
-        __m128i pred = _mm_sra_epi32(lo, _mm_cvtsi32_si128(rs));
-        __m128i xs = _mm_loadu_si128((const __m128i *)(x + s));
-        _mm_storeu_si128((__m128i *)(r + s), _mm_add_epi32(xs, pred));
+        const __m256i pred = _mm256_sra_epi32(acc, rsv);
+        const __m256i xs = _mm256_loadu_si256((const __m256i *)(x + s));
+        _mm256_storeu_si256((__m256i *)(r + s),
+                            _mm256_add_epi32(xs, pred));
     }
     return s;
 }
