@@ -16,6 +16,7 @@ from __future__ import annotations
 
 import argparse
 import csv
+import json
 import os
 import shlex
 import subprocess
@@ -155,6 +156,38 @@ def parse_config(cfg: str) -> dict:
     return out
 
 
+def _stable(times: list) -> bool:
+    """Two fastest runs agree within 25% — enough to trust the min."""
+    if len(times) < 2:
+        return False
+    a, b = sorted(times)[:2]
+    return b <= 1.25 * a
+
+
+def measure_host_batch(files: list, cfg: dict, backend: str,
+                       repeats: int = 3):
+    """Measure the srla_tpu HOST backends in a jax-free subprocess.
+
+    In-process host timing on this machine is contaminated by the jax/axon
+    runtime's background threads (always imported via sitecustomize); the
+    deployment shape of the host path is a jax-free process, so measure it
+    as one.  Returns a list of per-file metric dicts (incl. stream sha256
+    for the byte-identity gate)."""
+    worker = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                          "host_worker.py")
+    env = dict(os.environ)
+    env.pop("PALLAS_AXON_POOL_IPS", None)  # sitecustomize axon/jax hook
+    env["JAX_PLATFORMS"] = "cpu"           # belt & braces: never dial axon
+    job = json.dumps({"files": files, "cfg": cfg, "backend": backend,
+                      "repeats": repeats})
+    proc = subprocess.run([sys.executable, worker], input=job.encode(),
+                          env=env, capture_output=True)
+    if proc.returncode != 0:
+        raise RuntimeError(
+            f"host worker failed: {proc.stderr.decode()[-2000:]}")
+    return [json.loads(line) for line in proc.stdout.splitlines() if line]
+
+
 def measure_srla_tpu(path: str, cfg: dict, backend: str):
     from srla_tpu.decoder import SRLADecoder
     from srla_tpu.encoder import EncodeParameter, SRLAEncoder
@@ -168,20 +201,32 @@ def measure_srla_tpu(path: str, cfg: dict, backend: str):
         max_num_samples_per_block=cfg["B"],
         min_num_samples_per_block=cfg["B"] >> cfg["V"],
         num_lookahead_samples=cfg["L"] * cfg["B"], ltp_order=cfg["P"])
-    enc = SRLAEncoder(param, backend=backend)
-    t0 = time.time()
-    stream = enc.encode_whole(np.asarray(wav.pcm, np.int32))
-    t1 = time.time()
-    dec = SRLADecoder(backend="tpu" if backend == "tpu" else "native")
-    _, out = dec.decode_whole(stream)
-    t2 = time.time()
-    assert np.array_equal(out, wav.pcm), f"round trip failed for {path}"
+    pcm = np.asarray(wav.pcm, np.int32)
+    enc_times, dec_times = [], []
+    stream, st = None, {}
+    # Best-of-N: run twice (the second run reuses compiled device programs,
+    # which is the deployment steady state), early-stop when stable.
+    for _ in range(3):
+        enc = SRLAEncoder(param, backend=backend)
+        t0 = time.time()
+        s = enc.encode_whole(pcm)
+        enc_times.append(time.time() - t0)
+        if stream is None:
+            stream, st = s, enc.stats
+        else:
+            assert s == stream, f"non-deterministic encode: {path}"
+        dec = SRLADecoder(backend="tpu" if backend == "tpu" else "native")
+        t0 = time.time()
+        _, out = dec.decode_whole(s)
+        dec_times.append(time.time() - t0)
+        assert np.array_equal(out, wav.pcm), f"round trip failed for {path}"
+        if _stable(enc_times) and _stable(dec_times):
+            break
     # Capability accounting columns (no silent fallbacks): how much of the
     # encode/decode actually ran on which path.
-    st = enc.stats
     return {
-        "encode_pct_rt": 100.0 * (t1 - t0) / duration,
-        "decode_pct_rt": 100.0 * (t2 - t1) / duration,
+        "encode_pct_rt": 100.0 * min(enc_times) / duration,
+        "decode_pct_rt": 100.0 * min(dec_times) / duration,
         "compression_pct": 100.0 * len(stream) / raw_size,
         "enc_device_blocks": st.get("device_blocks", 0),
         "enc_host_blocks": st.get("host_blocks", 0),
@@ -191,12 +236,13 @@ def measure_srla_tpu(path: str, cfg: dict, backend: str):
     }, stream
 
 
-def measure_reference(path: str, cfg: dict):
+def measure_reference(path: str, cfg: dict, repeats: int = 3):
     if not os.path.exists(REF_BIN):
         return None, None
     wav = read_wav(path)
     duration = wav.pcm.shape[1] / wav.sampling_rate
     raw_size = os.path.getsize(path)
+    enc_times, dec_times = [], []
     with tempfile.TemporaryDirectory() as d:
         srl = os.path.join(d, "out.srl")
         dec = os.path.join(d, "out.wav")
@@ -204,18 +250,27 @@ def measure_reference(path: str, cfg: dict):
                 "-V", str(cfg["V"]), "-L", str(cfg["L"])]
         if cfg["P"]:
             args += ["-P", str(cfg["P"])]
-        t0 = time.time()
-        subprocess.run(args + [path, srl], check=True, capture_output=True)
-        t1 = time.time()
-        subprocess.run([REF_BIN, "-d", srl, dec], check=True,
-                       capture_output=True)
-        t2 = time.time()
+        # Best-of-N with early stop, same policy as the srla_tpu rows: the
+        # machine's multi-second external throttle windows make single-shot
+        # timings a lottery for every codec.
+        for _ in range(repeats):
+            t0 = time.time()
+            subprocess.run(args + [path, srl], check=True,
+                           capture_output=True)
+            t1 = time.time()
+            subprocess.run([REF_BIN, "-d", srl, dec], check=True,
+                           capture_output=True)
+            t2 = time.time()
+            enc_times.append(t1 - t0)
+            dec_times.append(t2 - t1)
+            if _stable(enc_times) and _stable(dec_times):
+                break
         comp = os.path.getsize(srl)
         with open(srl, "rb") as f:
             stream = f.read()
     return {
-        "encode_pct_rt": 100.0 * (t1 - t0) / duration,
-        "decode_pct_rt": 100.0 * (t2 - t1) / duration,
+        "encode_pct_rt": 100.0 * min(enc_times) / duration,
+        "decode_pct_rt": 100.0 * min(dec_times) / duration,
         "compression_pct": 100.0 * comp / raw_size,
     }, stream
 
@@ -336,6 +391,33 @@ def main():
             cfiles = files
             if codec == "srla_tpu[tpu]" and args.tpu_files:
                 cfiles = files[:args.tpu_files]
+            if codec.startswith("srla_tpu") and "tpu" not in codec:
+                # Host backends measure in a jax-free subprocess (their
+                # deployment shape); one worker per config covers all files.
+                import hashlib
+                backend = codec.split("[")[1][:-1]
+                for m in measure_host_batch(cfiles, cfg, backend):
+                    path = m.pop("file")
+                    sha = m.pop("sha256")
+                    ref = ref_streams.get(path)
+                    if ref is not None \
+                            and hashlib.sha256(ref).hexdigest() != sha:
+                        mismatches += 1
+                        print(f"BYTE MISMATCH: {codec} {cfg_str} {path}")
+                    for k, v in m.items():
+                        agg.setdefault(k, []).append(v)
+                    file_rows.append({
+                        "codec": codec, "config": cfg_str,
+                        "file": os.path.basename(path),
+                        **{k: round(v, 3) for k, v in m.items()}})
+                if not agg.get("encode_pct_rt"):
+                    continue
+                row = {"codec": codec, "config": cfg_str,
+                       **{k: round(float(np.mean(v)), 3)
+                          for k, v in agg.items()}}
+                rows.append(row)
+                print(row)
+                continue
             for path in cfiles:
                 if codec.startswith("srla_tpu"):
                     backend = codec.split("[")[1][:-1]

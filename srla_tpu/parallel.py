@@ -10,6 +10,8 @@ from __future__ import annotations
 
 from functools import partial
 
+from . import kernels as _kernels  # noqa: F401  (configures the XLA cache)
+
 import jax
 import jax.numpy as jnp
 import numpy as np
