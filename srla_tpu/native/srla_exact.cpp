@@ -472,17 +472,122 @@ static int64_t rice_sum_rec_avx2(const uint32_t *u, int n, uint32_t k1pow32,
 }
 #endif
 
+// Per-partition Rice code-length sum: the element function the reference
+// applies at every partition of every level (srla_coder.c). `recursive`
+// selects the overflow form d = (int32)(u - 2^(k+1)); d > 0 ? d >> k : 0
+// (int32 wrap semantics preserved), else the plain logical-shift sum.
+static int64_t rice_part_sum(const uint32_t *up, int nsmpl, int k,
+                             bool recursive) {
+    if (recursive) {
+        const uint32_t k1pow = (uint32_t)((int64_t)1 << (k + 1));
+#if defined(SRLA_X86_SIMD)
+        if (srla_has_avx2() && nsmpl >= 8)
+            return rice_sum_rec_avx2(up, nsmpl, k1pow, k);
+#endif
+        int64_t rb = 0;
+        for (int i = 0; i < nsmpl; i++) {
+            // reference computes this difference in int32
+            int32_t d = (int32_t)(up[i] - k1pow);
+            if (d > 0) rb += d >> k;
+        }
+        return rb;
+    }
+#if defined(SRLA_X86_SIMD)
+    if (srla_has_avx2() && nsmpl >= 8)
+        return rice_sum_shift_avx2(up, nsmpl, k);
+#endif
+    int64_t rb = 0;
+    for (int i = 0; i < nsmpl; i++) rb += up[i] >> k;
+    return rb;
+}
+
+#if defined(SRLA_X86_SIMD)
+// Per-element code-length contribution with PER-ELEMENT k (variable-shift
+// lanes). Recursive form: d = (int32)(u - 2^(k+1)); d > 0 ? d >> k : 0 —
+// int32-wrap subtract and positive-d logical shift match the scalar
+// semantics exactly (d > 0 makes >> sign-agnostic; k=31 makes 2<<k
+// truncate to 0 in a lane exactly like the scalar (uint32)(1<<32)).
+__attribute__((target("avx2")))
+static void rice_q_elem_avx2(const uint32_t *u, const int32_t *k_elem,
+                             int n, bool recursive, uint32_t *q_out) {
+    const __m256i two = _mm256_set1_epi32(2);
+    const __m256i zero = _mm256_setzero_si256();
+    int i = 0;
+    if (recursive) {
+        for (; i + 8 <= n; i += 8) {
+            __m256i v = _mm256_loadu_si256((const __m256i *)(u + i));
+            __m256i kv = _mm256_loadu_si256((const __m256i *)(k_elem + i));
+            __m256i t = _mm256_sllv_epi32(two, kv);
+            __m256i d = _mm256_sub_epi32(v, t);
+            __m256i pos = _mm256_cmpgt_epi32(d, zero);
+            _mm256_storeu_si256(
+                (__m256i *)(q_out + i),
+                _mm256_and_si256(pos, _mm256_srlv_epi32(d, kv)));
+        }
+    } else {
+        for (; i + 8 <= n; i += 8) {
+            __m256i v = _mm256_loadu_si256((const __m256i *)(u + i));
+            __m256i kv = _mm256_loadu_si256((const __m256i *)(k_elem + i));
+            _mm256_storeu_si256((__m256i *)(q_out + i),
+                                _mm256_srlv_epi32(v, kv));
+        }
+    }
+    for (; i < n; i++) {
+        const int k = k_elem[i];
+        if (recursive) {
+            int32_t d = (int32_t)(u[i] - (uint32_t)((int64_t)1 << (k + 1)));
+            q_out[i] = d > 0 ? (uint32_t)(d >> k) : 0;
+        } else {
+            q_out[i] = u[i] >> k;
+        }
+    }
+}
+#endif
+
+// Per-element fallback of the above (exact scalar element function).
+static void rice_q_elem(const uint32_t *u, const int32_t *k_elem, int n,
+                        bool recursive, uint32_t *q_out) {
+#if defined(SRLA_X86_SIMD)
+    if (srla_has_avx2()) {
+        rice_q_elem_avx2(u, k_elem, n, recursive, q_out);
+        return;
+    }
+#endif
+    for (int i = 0; i < n; i++) {
+        const int k = k_elem[i];
+        if (recursive) {
+            int32_t d = (int32_t)(u[i] - (uint32_t)((int64_t)1 << (k + 1)));
+            q_out[i] = d > 0 ? (uint32_t)(d >> k) : 0;
+        } else {
+            q_out[i] = u[i] >> k;
+        }
+    }
+}
+
 // Batched Rice partition search (exact; same decisions as the reference).
 // residuals: (V, n) int32. Outputs per variant: code_type, best_porder,
 // min_bits, ks (V, 1024) int16.
+//
+// The partition pyramid is evaluated bottom-up: fine levels (short
+// partitions, where per-partition means are noisy and k changes often) use
+// ONE variable-shift pass per level; coarse levels merge — a parent whose
+// Rice parameter k equals both children's simply ADDS their sums (the
+// summand is an element-wise function of (u, k), so equal-k sums merge
+// exactly) and only partitions whose k differs from a child's are
+// rescanned. Coarse-level means are stable, so merging almost always
+// applies; the search touches each sample a few times instead of once per
+// level with scalar branches.
 void srla_rice_search_batch(
     const int32_t *residuals, long V, int n, int max_porder,
     int32_t *code_type_out, int32_t *porder_out, int64_t *bits_out,
     int16_t *ks_out) {
     const int MAXP = 1 << max_porder;
     uint32_t *u = new uint32_t[n];
-    int32_t *ks_lvl = new int32_t[MAXP];
     double *mean_lvls = new double[(max_porder + 1) * MAXP];
+    int32_t *k_pyr = new int32_t[(max_porder + 1) * MAXP];
+    int64_t *rb_pyr = new int64_t[(max_porder + 1) * MAXP];
+    int32_t *k_elem = new int32_t[n];
+    uint32_t *q_elem = new uint32_t[n];
     for (long v = 0; v < V; v++) {
         const int32_t *res = residuals + (long)v * n;
         uint32_t max_uval = 0;
@@ -513,40 +618,21 @@ void srla_rice_search_batch(
             continue;
         }
         const bool recursive = mean_lvls[0] >= 2.0;
-        int64_t best_bits = INT64_MAX;
-        int best_porder = 0;
-        int16_t *ks_row = ks_out + (long)v * 1024;
-        for (int porder = 0; porder <= max_porder; porder++) {
-            const int nparts = 1 << porder;
-            const int nsmpl = n >> porder;
-            const double *m = mean_lvls + porder * MAXP;
-            int64_t bits = 10 + 5;
-            int32_t prevk = 0;
-            for (int part = 0; part < nparts; part++) {
-                int32_t k;
-                if (recursive) {
-                    double g = 0.66794162356 * (1.0 + m[part]);
+        // 1) Rice parameter for every (level, partition) from its mean
+        //    (identical arithmetic to the reference's per-partition chain).
+        for (int lvl = 0; lvl <= max_porder; lvl++) {
+            const double *m = mean_lvls + lvl * MAXP;
+            int32_t *kk = k_pyr + lvl * MAXP;
+            const int nparts = 1 << lvl;
+            if (recursive) {
+                for (int p = 0; p < nparts; p++) {
+                    double g = 0.66794162356 * (1.0 + m[p]);
                     if (g < 1.0) g = 1.0;
-                    uint32_t gi = (uint32_t)g;
-                    k = 31 - __builtin_clz(gi);
-                    const int64_t k1pow = (int64_t)1 << (k + 1);
-                    int64_t rb = 0;
-                    const uint32_t *up = u + part * nsmpl;
-#if defined(SRLA_X86_SIMD)
-                    if (srla_has_avx2()) {
-                        rb = rice_sum_rec_avx2(up, nsmpl, (uint32_t)k1pow,
-                                               k);
-                    } else
-#endif
-                    for (int i = 0; i < nsmpl; i++) {
-                        // reference computes this difference in int32
-                        int32_t d = (int32_t)((uint32_t)up[i]
-                                              - (uint32_t)k1pow);
-                        if (d > 0) rb += d >> k;
-                    }
-                    bits += (int64_t)(k + 2) * nsmpl + rb;
-                } else {
-                    const double mean = m[part];
+                    kk[p] = 31 - __builtin_clz((uint32_t)g);
+                }
+            } else {
+                for (int p = 0; p < nparts; p++) {
+                    const double mean = m[p];
                     const double rho = 1.0 / (1.0 + mean);
                     const double om = 1.0 - rho;
                     const double denom =
@@ -560,30 +646,69 @@ void srla_rice_search_batch(
                     double r = (log2v >= 0.0) ? floor(log2v + 0.5)
                                               : -floor(-log2v + 0.5);
                     if (r < 0.0) r = 0.0;
-                    k = (int32_t)r;
-                    int64_t rb = 0;
-                    const uint32_t *up = u + part * nsmpl;
-#if defined(SRLA_X86_SIMD)
-                    if (srla_has_avx2()) {
-                        rb = rice_sum_shift_avx2(up, nsmpl, k);
-                    } else
-#endif
-                    for (int i = 0; i < nsmpl; i++) rb += up[i] >> k;
-                    bits += (int64_t)(k + 1) * nsmpl + rb;
+                    kk[p] = (int32_t)r;
                 }
-                if (part == 0) {
-                    prevk = k;
-                } else {
-                    bits += zigzag32(k - prevk) + 1;
-                    prevk = k;
+            }
+        }
+        // 2) Per-level sums, fine-to-coarse. Fine levels (nsmpl < 16): one
+        //    variable-shift pass + per-partition accumulate. Coarse
+        //    levels: merge equal-k children, rescan the rare rest.
+        for (int lvl = max_porder; lvl >= 0; lvl--) {
+            const int nparts = 1 << lvl;
+            const int nsmpl = n >> lvl;
+            const int32_t *kk = k_pyr + lvl * MAXP;
+            int64_t *rb = rb_pyr + lvl * MAXP;
+            if (nsmpl < 16) {
+                for (int p = 0; p < nparts; p++)
+                    for (int j = 0; j < nsmpl; j++)
+                        k_elem[p * nsmpl + j] = kk[p];
+                rice_q_elem(u, k_elem, n, recursive, q_elem);
+                const uint32_t *q = q_elem;
+                for (int p = 0; p < nparts; p++) {
+                    int64_t s = 0;
+                    for (int j = 0; j < nsmpl; j++) s += *q++;
+                    rb[p] = s;
                 }
-                ks_lvl[part] = k;
+            } else if (lvl == max_porder) {
+                for (int p = 0; p < nparts; p++)
+                    rb[p] = rice_part_sum(u + (long)p * nsmpl, nsmpl,
+                                          kk[p], recursive);
+            } else {
+                const int32_t *kc = k_pyr + (lvl + 1) * MAXP;
+                const int64_t *rc = rb_pyr + (lvl + 1) * MAXP;
+                for (int p = 0; p < nparts; p++) {
+                    const int32_t k = kk[p];
+                    if (k == kc[2 * p] && k == kc[2 * p + 1])
+                        rb[p] = rc[2 * p] + rc[2 * p + 1];
+                    else
+                        rb[p] = rice_part_sum(u + (long)p * nsmpl, nsmpl,
+                                              k, recursive);
+                }
+            }
+        }
+        // 4) Total bits per level, best-level tracking.
+        const int khdr = recursive ? 2 : 1;
+        int64_t best_bits = INT64_MAX;
+        int best_porder = 0;
+        int16_t *ks_row = ks_out + (long)v * 1024;
+        for (int porder = 0; porder <= max_porder; porder++) {
+            const int nparts = 1 << porder;
+            const int nsmpl = n >> porder;
+            const int32_t *kk = k_pyr + porder * MAXP;
+            const int64_t *rb = rb_pyr + porder * MAXP;
+            int64_t bits = 10 + 5;
+            int32_t prevk = 0;
+            for (int part = 0; part < nparts; part++) {
+                const int32_t k = kk[part];
+                bits += (int64_t)(k + khdr) * nsmpl + rb[part];
+                if (part != 0) bits += zigzag32(k - prevk) + 1;
+                prevk = k;
             }
             if (bits < best_bits) {
                 best_bits = bits;
                 best_porder = porder;
                 for (int p = 0; p < nparts; p++)
-                    ks_row[p] = (int16_t)ks_lvl[p];
+                    ks_row[p] = (int16_t)kk[p];
                 for (int p = nparts; p < 1024; p++) ks_row[p] = 0;
             }
         }
@@ -592,8 +717,11 @@ void srla_rice_search_batch(
         bits_out[v] = best_bits + 2;
     }
     delete[] u;
-    delete[] ks_lvl;
     delete[] mean_lvls;
+    delete[] k_pyr;
+    delete[] rb_pyr;
+    delete[] k_elem;
+    delete[] q_elem;
 }
 
 #if defined(SRLA_X86_SIMD)
