@@ -931,6 +931,34 @@ class SRLAEncoder:
                     return
                 st = (nxt, chunk)
 
+        # Host side: prefer the persistent jax-free worker subprocess — the
+        # axon client's background threads contend for this process's GIL
+        # and crush in-thread native encode (NOTES.md); the scheduler thread
+        # sleeps on the worker's pipe instead, releasing the GIL.
+        from . import hostproc
+        worker = hostproc.get_worker(self.p)
+        if worker is not None:
+            try:
+                worker.set_pcm(pcm)
+            except Exception:
+                hostproc.mark_broken(self.p)
+                worker = None
+
+        def host_encode(chunk):
+            nonlocal worker
+            if worker is not None:
+                try:
+                    worker.submit(spans, chunk, size, offset_lshift)
+                    out, n_host = worker.result()
+                    self.stats["host_blocks"] += n_host
+                    self._report_progress(len(chunk) * size)
+                    return out
+                except Exception:
+                    hostproc.mark_broken(self.p)
+                    worker = None
+            return self._encode_host_batch(pcm, spans, chunk, size,
+                                           offset_lshift)
+
         results: dict[int, bytes] = {}
         ex = cf.ThreadPoolExecutor(1)
         fut = ex.submit(dev_worker)
@@ -940,8 +968,7 @@ class SRLAEncoder:
                 if not chunk:
                     break
                 t0 = _time.perf_counter()
-                results.update(self._encode_host_batch(
-                    pcm, spans, chunk, size, offset_lshift))
+                results.update(host_encode(chunk))
                 dt = max(_time.perf_counter() - t0, 1e-3)
                 rates["host"] = _ema(rates["host"], len(chunk) / dt)
             # The queue is drained. A stalled device link must not stall the
@@ -969,8 +996,7 @@ class SRLAEncoder:
                         have = set(results) | set(dev_results)
                         missing = [i for i in dev_taken if i not in have]
                     if missing:
-                        results.update(self._encode_host_batch(
-                            pcm, spans, missing, size, offset_lshift))
+                        results.update(host_encode(missing))
         finally:
             ex.shutdown(wait=False)
         with lock:
@@ -980,8 +1006,7 @@ class SRLAEncoder:
         # Anything still missing (race window): host-encode it now.
         still = [i for i in idxs if i not in results]
         if still:
-            results.update(self._encode_host_batch(pcm, spans, still, size,
-                                                   offset_lshift))
+            results.update(host_encode(still))
         return results
 
     def _finish_block(self, pcm, spans, i, size, params, method_b, bi, C):
