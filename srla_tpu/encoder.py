@@ -934,15 +934,11 @@ class SRLAEncoder:
         # Host side: prefer the persistent jax-free worker subprocess — the
         # axon client's background threads contend for this process's GIL
         # and crush in-thread native encode (NOTES.md); the scheduler thread
-        # sleeps on the worker's pipe instead, releasing the GIL.
+        # sleeps on the worker's pipe instead, releasing the GIL. The worker
+        # is attached AFTER the device thread launches: its first-use spawn
+        # costs ~1 s of imports and must not stall the device side.
         from . import hostproc
-        worker = hostproc.get_worker(self.p)
-        if worker is not None:
-            try:
-                worker.set_pcm(pcm)
-            except Exception:
-                hostproc.mark_broken(self.p)
-                worker = None
+        worker = None
 
         def host_encode(chunk):
             nonlocal worker
@@ -962,6 +958,13 @@ class SRLAEncoder:
         results: dict[int, bytes] = {}
         ex = cf.ThreadPoolExecutor(1)
         fut = ex.submit(dev_worker)
+        worker = hostproc.get_worker(self.p)
+        if worker is not None:
+            try:
+                worker.set_pcm(pcm)
+            except Exception:
+                hostproc.mark_broken(self.p)
+                worker = None
         try:
             while True:
                 chunk = take(self._HYBRID_HOST_CHUNK, False)

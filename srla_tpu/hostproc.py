@@ -72,7 +72,10 @@ class HostEncodeProc:
             "max_num_samples_per_block", "min_num_samples_per_block",
             "num_lookahead_samples", "ltp_order",
             "num_svr_filter_learning_iteration")}))
-        self._recv_ok()
+        # Handshake is read lazily at the first result(): the worker spends
+        # ~0.5-1 s importing numpy/srla_tpu, and blocking here would stall
+        # the hybrid scheduler before the device side even starts.
+        self._pending_ok = True
         self._pcm_id = None
 
     def _send(self, msg) -> None:
@@ -103,6 +106,9 @@ class HostEncodeProc:
     def result(self):
         """Blocks on the pipe (GIL released) until the worker finishes.
         Returns ({idx: bytes}, n_host_blocks)."""
+        if self._pending_ok:
+            self._recv_ok()
+            self._pending_ok = False
         msg = self._recv()
         if msg[0] != "done":
             raise RuntimeError(f"host worker error: {msg[1] if len(msg) > 1 else msg}")
