@@ -142,60 +142,73 @@ def _machine_bit(st, bit, n, C):
 _ST_KEYS = ("mode", "need", "acc", "k", "rec", "q", "nlc", "nlp", "nsmpl",
             "chan", "azm")
 _LANE = jnp.arange(32, dtype=jnp.int32)
-_LANEMASK = ((np.uint32(1) << np.arange(32, dtype=np.uint32))
-             - np.uint32(1))                  # (1<<i)-1 per lane
+
+# Completion-window geometry. Each entropy-scan step consumes _WIN_WORDS
+# payload words and snapshots a _WIN-lane window — wider windows cut the
+# residual-assembly gather count (binary-search probes and row-slice
+# fetches scale with Cn/_WIN; gathers cost ~13 ns/index on this stack and
+# were ~60% of the assemble phase at 32 lanes). 128 lanes = one vreg row.
+_WIN_WORDS = 4
+_WIN = 32 * _WIN_WORDS
 
 
-def _butterfly_concentrate(v: jnp.ndarray, m: jnp.ndarray):
-    """Stable-compact the masked lanes of v (B, 32) to the left.
+def _butterfly_concentrate(v: jnp.ndarray, ok: jnp.ndarray):
+    """Stable-compact the valid lanes of v (B, L) to the left (ok: bool).
 
     Self-routing reverse-banyan concentrator: route each valid element by
-    the bits of its rank (popcount of valid lanes below it), LSB stage
-    first. Concentration maps are conflict-free on this network (verified
-    exhaustively at 16 lanes + 30k random 32-lane cases). Unclaimed lanes
-    carry garbage; the caller masks by count."""
-    rank = jax.lax.population_count(
-        m[:, None] & _LANEMASK[None, :]).astype(jnp.int32)
-    ok = ((m[:, None] >> _LANE.astype(jnp.uint32)) & 1) == 1
-    d = rank
+    the bits of its rank (count of valid lanes below it), LSB stage first.
+    Concentration maps are conflict-free on this network for any power-of-
+    two lane count (verified exhaustively at 16 lanes + randomized at
+    32/128 lanes). Unclaimed lanes carry garbage; the caller masks by
+    count."""
+    B, L = v.shape
+    lane = jnp.arange(L, dtype=jnp.int32)
+    oki = ok.astype(jnp.int32)
+    d = jnp.cumsum(oki, axis=1) - oki             # rank among valid lanes
 
     def swap(x, k):
-        B = x.shape[0]
-        return x.reshape(B, -1, 2, k)[:, :, ::-1, :].reshape(B, 32)
+        return x.reshape(B, -1, 2, k)[:, :, ::-1, :].reshape(B, L)
 
-    for k in (1, 2, 4, 8, 16):
+    k = 1
+    while k < L:
         pv, pd, pok = swap(v, k), swap(d, k), swap(ok, k)
-        is_hi = (_LANE & k) != 0
+        is_hi = (lane & k) != 0
         keep = ok & (((d & k) != 0) == is_hi)
         take = pok & (((pd & k) != 0) == is_hi)
         v = jnp.where(keep, v, pv)
         d = jnp.where(keep, d, pd)
         ok = keep | take
+        k *= 2
     return v
 
 
 def _rotate_lanes(x: jnp.ndarray, s: jnp.ndarray):
-    """Per-row circular right-rotation of 32 lanes by s (B,) via 5
+    """Per-row circular right-rotation of L lanes by s (B,) via log2(L)
     conditional static rolls (lane-dynamic shifts would need a gather)."""
-    for k in (1, 2, 4, 8, 16):
+    k = 1
+    while k < x.shape[1]:
         x = jnp.where((s[:, None] & k) != 0, jnp.roll(x, k, axis=1), x)
+        k *= 2
     return x
 
 
-def _window_update(prev, cur, cnt, vals, cm):
-    """Merge one word's completions (vals (B,32) by bit-slot, cm mask) into
-    the rolling mod-32 completion window `cur`; archive `cur` into `prev`
-    when the completion count crosses a multiple of 32 (a word completes at
-    most 32 codewords, so at most one crossing per word)."""
-    count = jax.lax.population_count(cm).astype(jnp.int32)
-    comp = _butterfly_concentrate(vals, cm)
-    s0 = cnt & 31
+def _window_update(prev, cur, cnt, vals, ok):
+    """Merge one step's completions (vals (B, L) in stream order, ok valid
+    mask) into the rolling mod-L completion window `cur`; archive `cur`
+    into `prev` when the completion count crosses a multiple of L (a step
+    completes at most L codewords, so at most one crossing per step)."""
+    L = vals.shape[1]
+    lane = jnp.arange(L, dtype=jnp.int32)
+    shift = L.bit_length() - 1
+    count = jnp.sum(ok.astype(jnp.int32), axis=1)
+    comp = _butterfly_concentrate(vals, ok)
+    s0 = cnt & (L - 1)
     rot = _rotate_lanes(comp, s0)
-    r = (_LANE[None, :] - s0[:, None]) & 31       # rank landing on each lane
+    r = (lane[None, :] - s0[:, None]) & (L - 1)   # rank landing on each lane
     occupied = r < count[:, None]
     cnt_new = cnt + count
-    crossed = (cnt_new >> 5) > (cnt >> 5)
-    pre = occupied & (r < (32 - s0)[:, None])     # d < next 32-boundary
+    crossed = (cnt_new >> shift) > (cnt >> shift)
+    pre = occupied & (r < (L - s0)[:, None])      # d < next L-boundary
     cur_mid = jnp.where(pre, rot, cur)
     prev = jnp.where(crossed[:, None], cur_mid, prev)
     cur = jnp.where(occupied, rot, cur)
@@ -207,15 +220,15 @@ def _entropy_scan(wordsT: jnp.ndarray, n: int, C: int,
     """wordsT: (W, B) uint32, already left-shifted so the first channel's
     code-type field starts at bit 0.
 
-    Returns (snap (W+1, B, 32) int32, counts (W, B) int32, azmask (B,)).
-    snap[t] is the 32-lane window of the last completed 32-block as of word
-    t (the d-th completion lives in lane d%32 of snap[t_d] where t_d is the
-    first word with cumulative count > d rounded up to the block end); row
-    W is a virtual final step exposing the trailing partial block. This
-    emission shape makes residual assembly gather-free except one aligned
-    row-slice fetch per 32 outputs (see _assemble) — per-element gathers
-    cost ~25 ns/idx on this stack, which at file scale was the round-2
-    decoder's wall.
+    Returns (snap (WQ+1, B, _WIN) int32, counts (WQ, B) int32, azmask
+    (B,)) where WQ = ceil(W / _WIN_WORDS). snap[t] is the _WIN-lane window
+    of the last completed window as of step t (the d-th completion lives in
+    lane d%_WIN of snap[t_d] where t_d is the first step with cumulative
+    count > d rounded up to the window end); row WQ is a virtual final step
+    exposing the trailing partial window. This emission shape makes
+    residual assembly gather-free except one aligned row-slice fetch per
+    _WIN outputs (see _assemble) — per-element gathers cost ~13-25 ns/idx
+    on this stack, which at file scale was the round-2 decoder's wall.
 
     The 32-bit machine body is unrolled on TPU (VPU-throughput-bound) but
     rolled into a fori_loop on CPU, where the unrolled body compiles for
@@ -223,12 +236,18 @@ def _entropy_scan(wordsT: jnp.ndarray, n: int, C: int,
     """
     if unroll_bits is None:
         unroll_bits = jax.default_backend() == "tpu"
-    B = wordsT.shape[1]
+    W, B = wordsT.shape
+    pad = (-W) % _WIN_WORDS
+    if pad:
+        # Zero padding words are no-ops: finished rows sit in _M_DONE and a
+        # zero bit in UNARY/UDELTA only grows the (discarded) run counter.
+        wordsT = jnp.concatenate(
+            [wordsT, jnp.zeros((pad, B), wordsT.dtype)], axis=0)
+    quads = wordsT.reshape(-1, _WIN_WORDS, B)
     z = jnp.zeros((B,), jnp.int32)
     init_m = dict(mode=z + _M_CTYPE, need=z + 2, acc=z, k=z, rec=z, q=z,
                   nlc=z + n, nlp=z + 1, nsmpl=z + 1, chan=z, azm=z)
-    zw = jnp.zeros((B, 32), jnp.int32)
-    init = (init_m, zw, zw, z)
+    zw = jnp.zeros((B, _WIN), jnp.int32)
 
     def bits_unrolled(st, w):
         vals = []
@@ -261,40 +280,55 @@ def _entropy_scan(wordsT: jnp.ndarray, n: int, C: int,
 
     bits = bits_unrolled if unroll_bits else bits_rolled
 
-    def step(carry, w):
-        st, prev, cur, cnt = carry
-        st, vals, cm = bits(st, w)
-        prev, cur, cnt, count = _window_update(prev, cur, cnt, vals, cm)
-        return (st, prev, cur, cnt), (prev, count)
+    def inner(st_t, w):
+        st, vals, cm = bits(dict(zip(_ST_KEYS, st_t)), w)
+        ok = ((cm[:, None] >> _LANE.astype(jnp.uint32)[None, :])
+              & jnp.uint32(1)) == 1
+        return tuple(st[k] for k in _ST_KEYS), (vals, ok)
 
-    (st, prev, cur, cnt), (snap, counts) = jax.lax.scan(step, init, wordsT)
+    def step(carry, wq):
+        # One step = _WIN_WORDS payload words. The word machine stays a
+        # rolled inner scan so the compiled body is one word wide (the
+        # unrolled 128-bit body quadruples remote compile time for no
+        # throughput gain — the machine is VPU-bound, not step-bound).
+        st_t, prev, cur, cnt = carry
+        st_t, (vals, ok) = jax.lax.scan(inner, st_t, wq)
+        vals = vals.transpose(1, 0, 2).reshape(B, _WIN)
+        ok = ok.transpose(1, 0, 2).reshape(B, _WIN)
+        prev, cur, cnt, count = _window_update(prev, cur, cnt, vals, ok)
+        return (st_t, prev, cur, cnt), (prev, count)
+
+    init = (tuple(init_m[k] for k in _ST_KEYS), zw, zw, z)
+    (st_t, prev, cur, cnt), (snap, counts) = jax.lax.scan(step, init, quads)
+    st = dict(zip(_ST_KEYS, st_t))
     snap = jnp.concatenate([snap, cur[None]], axis=0)   # virtual final step
     return snap, counts, st["azm"]
 
 
 def _assemble(snap: "jnp.ndarray", counts: "jnp.ndarray",
               azmask: "jnp.ndarray", n: int, C: int):
-    """Snapshot assembly: (W+1, B, 32) windows + per-word counts ->
-    residuals (B, C, n) int32. Gather-free except ONE aligned (1,32)
-    row-slice fetch per 32 outputs (the fast gather shape on this stack:
-    ~40 ns/slice vs ~25 ns/element for per-element gathers).
+    """Snapshot assembly: (W+1, B, L) windows + per-step counts ->
+    residuals (B, C, n) int32. Gather-free except ONE aligned (1, L)
+    row-slice fetch per L outputs (the fast gather shape on this stack:
+    slices cost ~one index each vs ~13 ns/element for per-element
+    gathers; L=128 lanes cuts the probe and fetch count 4x vs 32).
 
-    Output d (completion order) lives in lane d%32 of snap[t_d] where
-    t_d = first word with cumulative count >= 32*(d//32 + 1) (binary
-    search over NJ blocks, not Cn outputs); the trailing partial block
+    Output d (completion order) lives in lane d%L of snap[t_d] where
+    t_d = first step with cumulative count >= L*(d//L + 1) (binary
+    search over NJ windows, not Cn outputs); the trailing partial window
     reads the virtual final row W. ALLZERO channels emit nothing, so
     channel c's samples occupy d in [n * #non-az-channels-before-c, +n);
     the channel realignment is a static select over <= C shifted slices
     (per-row dynamic offsets would be a gather again).
     """
-    Wp1, B, _ = snap.shape
+    Wp1, B, LN = snap.shape
     W = Wp1 - 1
     cum = jnp.cumsum(counts.T, axis=1)                      # (B, W)
     Cn = C * n
-    NJ = -(-Cn // 32)
+    NJ = -(-Cn // LN)
 
-    # t_j = first word with cum >= 32(j+1), else W (virtual row).
-    tj = (jnp.arange(NJ, dtype=jnp.int32)[None, :] + 1) * 32
+    # t_j = first step with cum >= L(j+1), else W (virtual row).
+    tj = (jnp.arange(NJ, dtype=jnp.int32)[None, :] + 1) * LN
     lo = jnp.zeros((B, NJ), jnp.int32)
     hi = jnp.full((B, NJ), W, jnp.int32)
     for _ in range(max(int(np.ceil(np.log2(max(W + 1, 2)))), 1)):
@@ -306,13 +340,13 @@ def _assemble(snap: "jnp.ndarray", counts: "jnp.ndarray",
     t = lo                                                   # (B, NJ)
 
     # Aligned row-slice fetch of the NJ snapshots per row.
-    snapR = snap.reshape(Wp1 * B, 32)
+    snapR = snap.reshape(Wp1 * B, LN)
     rows = (t * B + jnp.arange(B, dtype=jnp.int32)[:, None]).reshape(-1, 1)
     gd = jax.lax.GatherDimensionNumbers(
         offset_dims=(1, 2), collapsed_slice_dims=(), start_index_map=(0,))
-    dense = jax.lax.gather(snapR, rows, gd, slice_sizes=(1, 32),
+    dense = jax.lax.gather(snapR, rows, gd, slice_sizes=(1, LN),
                            indices_are_sorted=False, unique_indices=False)
-    dense = dense.reshape(B, NJ * 32)
+    dense = dense.reshape(B, NJ * LN)
 
     ui = dense.astype(jnp.int32)
     res = (ui >> 1) ^ -(ui & 1)                              # unzigzag
