@@ -360,6 +360,9 @@ def main():
                          " (device-program compiles through a remote link"
                          " cost minutes per new shape; other codecs still"
                          " run the full corpus)")
+    ap.add_argument("--files", type=int, default=None,
+                    help="Cap the corpus at the first N files (long-file"
+                         " grid runs)")
     args = ap.parse_args()
     if args.grid:
         args.configs = GRID_CONFIGS
@@ -372,12 +375,36 @@ def main():
     else:
         tmp = tempfile.TemporaryDirectory()
         files = synthetic_corpus(tmp.name, args.seconds)
+    if args.files:
+        files = files[:args.files]
 
     import shutil
     flac_name = "flac" if shutil.which("flac") else "flac-py"
     rows = []
     file_rows = []
     mismatches = 0
+
+    def fieldnames(rws):
+        names = []
+        for r in rws:
+            for k in r:
+                if k not in names:
+                    names.append(k)
+        return names
+
+    def flush():
+        # Incremental write: multi-hour grid runs must not lose completed
+        # rows to one failing config.
+        with open(args.out, "w", newline="") as f:
+            w = csv.DictWriter(f, fieldnames=fieldnames(rows), restval="")
+            w.writeheader()
+            w.writerows(rows)
+        if args.per_file:
+            with open(args.per_file, "w", newline="") as f:
+                w = csv.DictWriter(f, fieldnames=fieldnames(file_rows),
+                                   restval="")
+                w.writeheader()
+                w.writerows(file_rows)
     for cfg_i, cfg_str in enumerate(args.configs):
         cfg = parse_config(cfg_str)
         # Reference first so its streams are available for the byte compare.
@@ -396,7 +423,14 @@ def main():
                 # deployment shape); one worker per config covers all files.
                 import hashlib
                 backend = codec.split("[")[1][:-1]
-                for m in measure_host_batch(cfiles, cfg, backend):
+                try:
+                    batch = measure_host_batch(cfiles, cfg, backend)
+                except Exception as e:
+                    mismatches += 1
+                    print(f"MEASURE FAILED: {codec} {cfg_str}: {e!r}",
+                          flush=True)
+                    continue
+                for m in batch:
                     path = m.pop("file")
                     sha = m.pop("sha256")
                     ref = ref_streams.get(path)
@@ -416,24 +450,31 @@ def main():
                        **{k: round(float(np.mean(v)), 3)
                           for k, v in agg.items()}}
                 rows.append(row)
-                print(row)
+                print(row, flush=True)
+                flush()
                 continue
             for path in cfiles:
-                if codec.startswith("srla_tpu"):
-                    backend = codec.split("[")[1][:-1]
-                    m, stream = measure_srla_tpu(path, cfg, backend)
-                    # Bit-exactness vs the reference binary is the spec:
-                    # matching flags must give byte-identical streams.
-                    ref = ref_streams.get(path)
-                    if ref is not None and stream != ref:
-                        mismatches += 1
-                        print(f"BYTE MISMATCH: {codec} {cfg_str} {path}")
-                elif codec == "reference":
-                    m, stream = measure_reference(path, cfg)
-                    if m is not None:
-                        ref_streams[path] = stream
-                else:
-                    m = measure_flac(path, cfg)
+                try:
+                    if codec.startswith("srla_tpu"):
+                        backend = codec.split("[")[1][:-1]
+                        m, stream = measure_srla_tpu(path, cfg, backend)
+                        # Bit-exactness vs the reference binary is the spec:
+                        # matching flags must give byte-identical streams.
+                        ref = ref_streams.get(path)
+                        if ref is not None and stream != ref:
+                            mismatches += 1
+                            print(f"BYTE MISMATCH: {codec} {cfg_str} {path}")
+                    elif codec == "reference":
+                        m, stream = measure_reference(path, cfg)
+                        if m is not None:
+                            ref_streams[path] = stream
+                    else:
+                        m = measure_flac(path, cfg)
+                except Exception as e:  # record, keep the grid going
+                    mismatches += 1
+                    print(f"MEASURE FAILED: {codec} {cfg_str} {path}: {e!r}",
+                          flush=True)
+                    continue
                 if m is None:
                     break
                 for k, v in m.items():
@@ -447,27 +488,12 @@ def main():
                    **{k: round(float(np.mean(v)), 3)
                       for k, v in agg.items()}}
             rows.append(row)
-            print(row)
+            print(row, flush=True)
+            flush()
 
-    def fieldnames(rws):
-        names = []
-        for r in rws:
-            for k in r:
-                if k not in names:
-                    names.append(k)
-        return names
-
-    with open(args.out, "w", newline="") as f:
-        w = csv.DictWriter(f, fieldnames=fieldnames(rows), restval="")
-        w.writeheader()
-        w.writerows(rows)
+    flush()
     print(f"wrote {args.out}")
     if args.per_file:
-        with open(args.per_file, "w", newline="") as f:
-            w = csv.DictWriter(f, fieldnames=fieldnames(file_rows),
-                               restval="")
-            w.writeheader()
-            w.writerows(file_rows)
         print(f"wrote {args.per_file}")
     if mismatches:
         print(f"{mismatches} byte mismatches vs reference")
