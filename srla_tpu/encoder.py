@@ -903,8 +903,21 @@ class SRLAEncoder:
             # device/host rate ratio, so a slow tunnel never strands more
             # than ~2 small chunks on the device while the host drains the
             # queue. First chunks are small probes (rates unknown).
+            #
+            # Net-contribution gate: this machine has ONE core, so every
+            # CPU-second the device pipeline's host glue (dispatch prep,
+            # fetches, native payload assembly, the axon client's worker
+            # threads) burns is a CPU-second taken from the jax-free host
+            # worker subprocess. The device share is worth keeping only
+            # while blocks_delivered > host_rate * process_cpu_spent —
+            # otherwise a degraded tunnel makes the hybrid SLOWER than the
+            # plain host path. Measured via time.process_time (the host
+            # worker is a separate process; this process's CPU is ~all
+            # device glue), stop after 2 consecutive net-negative chunks.
             st = None
             last = _time.perf_counter()
+            cpu_last = _time.process_time()
+            neg_streak = 0
             while True:
                 with lock:
                     rem = len(pending)
@@ -914,7 +927,9 @@ class SRLAEncoder:
                     frac = rates["dev"] / (rates["dev"] + rates["host"])
                     want = int(min(self._HYBRID_DEV_CHUNK,
                                    max(64, rem * frac * 0.5)))
-                chunk = take(want, True) if rem else []
+                if neg_streak >= 2:
+                    want = 0
+                chunk = take(want, True) if rem and want else []
                 nxt = (self._device_dispatch(pcm, spans, chunk, size,
                                              offset_lshift)
                        if chunk else None)
@@ -924,9 +939,15 @@ class SRLAEncoder:
                     with lock:
                         dev_results.update(done)
                     now = _time.perf_counter()
+                    cpu_now = _time.process_time()
                     rates["dev"] = _ema(rates["dev"],
                                         len(st[1]) / max(now - last, 1e-3))
+                    if rates["host"]:
+                        worth = rates["host"] * (cpu_now - cpu_last)
+                        neg_streak = (neg_streak + 1
+                                      if len(st[1]) < 0.7 * worth else 0)
                     last = now
+                    cpu_last = cpu_now
                 if nxt is None:
                     return
                 st = (nxt, chunk)
