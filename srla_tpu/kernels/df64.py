@@ -49,7 +49,13 @@ def _f32(x):
 # EFT invariants and cross-fusion value consistency both hold on every
 # backend. Kernel entry points install the token via `pinned(...)`.
 
-_PIN_ZERO = None
+import threading
+
+# Thread-LOCAL token store: the hybrid scheduler traces device programs from
+# a worker thread while the main thread may be tracing span-measurement
+# programs (-V). A process-global token would leak one trace's tracer into
+# the other's (observed as UnexpectedTracerError on concurrent cold traces).
+_PIN_TLS = threading.local()
 
 
 class pinned:
@@ -59,19 +65,18 @@ class pinned:
         self._tok = jnp.asarray(traced_value, jnp.float32) * jnp.float32(0.0)
 
     def __enter__(self):
-        global _PIN_ZERO
-        self._prev = _PIN_ZERO
-        _PIN_ZERO = self._tok
+        self._prev = getattr(_PIN_TLS, "tok", None)
+        _PIN_TLS.tok = self._tok
         return self
 
     def __exit__(self, *exc):
-        global _PIN_ZERO
-        _PIN_ZERO = self._prev
+        _PIN_TLS.tok = self._prev
         return False
 
 
 def _pin(x):
-    return x if _PIN_ZERO is None else x + _PIN_ZERO
+    tok = getattr(_PIN_TLS, "tok", None)
+    return x if tok is None else x + tok
 
 
 # A second XLA:CPU hazard (same root cause — real-arithmetic rewrites that

@@ -126,3 +126,33 @@ def test_comparisons():
                  _pair(np.array([1e-13, -1e-13, 0.0])))
     assert list(np.asarray(df64.lt(a, b))) == [True, False, False]
     assert list(np.asarray(df64.le(a, b))) == [True, False, True]
+
+
+def test_pin_token_is_thread_local():
+    """The hybrid scheduler traces device programs from a worker thread
+    while the main thread traces -V span-measurement programs; one trace's
+    pin token must never leak into the other (UnexpectedTracerError on
+    concurrent cold traces with a process-global token)."""
+    import threading
+
+    import jax.numpy as jnp
+
+    ready = threading.Event()
+    done = threading.Event()
+
+    def holder():
+        with df64.pinned(jnp.float32(1.0)):
+            ready.set()
+            done.wait(10)
+
+    t = threading.Thread(target=holder)
+    t.start()
+    assert ready.wait(10)
+    try:
+        x = jnp.float32(2.0)
+        # This thread holds no token: _pin must be the identity here even
+        # while the other thread's context is active.
+        assert df64._pin(x) is x
+    finally:
+        done.set()
+        t.join()
