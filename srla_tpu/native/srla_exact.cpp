@@ -564,6 +564,62 @@ static void rice_q_elem(const uint32_t *u, const int32_t *k_elem, int n,
     }
 }
 
+// Plain-Rice parameter via the reference's transcendental chain
+// (srla_coder.c:262-287): k = max(0, round(log2(ln OPTX / ln(1-1/(1+m))))).
+// Kept verbatim as the exact fallback of the boundary fast path below.
+static int32_t plain_rice_k_libm(double mean) {
+    const double rho = 1.0 / (1.0 + mean);
+    const double om = 1.0 - rho;
+    const double denom = (om == 0.0) ? -HUGE_VAL : log(om);
+    const double lv2 =
+        log(0.5127629514437670454896078808815218508243560791015625)
+        / denom;
+    const double log2v =
+        ((lv2 == 0.0) ? -HUGE_VAL : log(lv2)) * 1.4426950408889634;
+    double r = (log2v >= 0.0) ? floor(log2v + 0.5) : -floor(-log2v + 0.5);
+    if (r < 0.0) r = 0.0;
+    return (int32_t)r;
+}
+
+// The chain above is a monotone step function of the partition MEAN; its
+// step j sits where log2v crosses j - 0.5. Precompute each step's mean
+// once with a relative-1e-9 guard band (~1e4x wider than the chain's f64
+// rounding fuzz, still astronomically unlikely to be hit): means outside
+// every band resolve by comparison, means inside one fall back to the
+// exact chain. Replaces 3 libm logs per partition — the dominant -V
+// measurement cost on quiet/tonal content (up to 2047 partitions/block).
+// Same mean-space-boundary idea as the device table in kernels/exact.py
+// (_rice_k_boundaries), but with a fallback instead of a repair flag.
+static double plain_k_bound_lo[33];
+static double plain_k_bound_hi[33];
+
+static int plain_k_bounds_init(void) {
+    for (int j = 1; j < 32; j++) {
+        // Solve log2v == j - 0.5 for the mean: om = exp(ln OPTX / 2^(j-.5))
+        const double v = pow(2.0, j - 0.5);
+        const double om = exp(
+            log(0.5127629514437670454896078808815218508243560791015625)
+            / v);
+        const double m = om / (1.0 - om);
+        const double band = m * 1e-9 + 1e-12;
+        plain_k_bound_lo[j] = m - band;
+        plain_k_bound_hi[j] = m + band;
+    }
+    plain_k_bound_lo[0] = plain_k_bound_hi[0] = -HUGE_VAL;
+    plain_k_bound_lo[32] = plain_k_bound_hi[32] = HUGE_VAL;
+    return 1;
+}
+
+static inline int32_t plain_rice_k(double mean) {
+    static const int inited = plain_k_bounds_init();
+    (void)inited;
+    int k = 0;
+    while (k < 31 && mean >= plain_k_bound_hi[k + 1]) k++;
+    if (mean > plain_k_bound_lo[k + 1])  /* inside boundary k+1's band */
+        return plain_rice_k_libm(mean);
+    return k;
+}
+
 // Batched Rice partition search (exact; same decisions as the reference).
 // residuals: (V, n) int32. Outputs per variant: code_type, best_porder,
 // min_bits, ks (V, 1024) int16.
@@ -631,23 +687,8 @@ void srla_rice_search_batch(
                     kk[p] = 31 - __builtin_clz((uint32_t)g);
                 }
             } else {
-                for (int p = 0; p < nparts; p++) {
-                    const double mean = m[p];
-                    const double rho = 1.0 / (1.0 + mean);
-                    const double om = 1.0 - rho;
-                    const double denom =
-                        (om == 0.0) ? -HUGE_VAL : log(om);
-                    const double lv2 =
-                        log(0.5127629514437670454896078808815218508243560791015625)
-                        / denom;
-                    const double log2v =
-                        ((lv2 == 0.0) ? -HUGE_VAL : log(lv2))
-                        * 1.4426950408889634;
-                    double r = (log2v >= 0.0) ? floor(log2v + 0.5)
-                                              : -floor(-log2v + 0.5);
-                    if (r < 0.0) r = 0.0;
-                    kk[p] = (int32_t)r;
-                }
+                for (int p = 0; p < nparts; p++)
+                    kk[p] = plain_rice_k(m[p]);
             }
         }
         // 2) Per-level sums, fine-to-coarse. Fine levels (nsmpl < 16): one

@@ -103,3 +103,35 @@ def test_rice_search_batch_bit_exact(scale, n, monkeypatch):
     for v in range(V):
         nparts = 1 << int(po[v])
         assert (ks[v, :nparts] == ks2[v, :nparts]).all()
+
+
+@pytest.mark.parametrize("seed", [0, 1])
+def test_rice_k_boundary_fast_path(seed, monkeypatch):
+    """The plain-Rice mean-space boundary fast path (srla_exact.cpp
+    plain_rice_k) must decide exactly like the libm chain, including on
+    means engineered to land at/near the k-step boundaries (quiet tonal
+    content drives partition means through every fractional region)."""
+    rng = np.random.RandomState(seed)
+    rows = []
+    # Constant and half-step rows: partition means exactly v and v + 0.5
+    # for every small v (the first boundaries sit at m~1.66, 3.16, 6.7...).
+    for v in range(0, 12):
+        rows.append(np.full(1024, v))
+        half = np.full(1024, v)
+        half[::2] += 1
+        rows.append(half)
+    # Dense fractional sweep across the first four boundaries.
+    for f in np.linspace(1.2, 8.0, 24):
+        r = rng.poisson(f, 1024)
+        rows.append(r)
+    res = np.stack(rows).astype(np.int32)
+    # zigzag^-1 so the search's zigzag recovers the intended u magnitudes
+    res = np.where(res % 2 == 0, res // 2, -(res // 2) - 1)
+    ct, po, bits, ks = analyze_batch(res, 1024)  # native path
+    monkeypatch.setattr(nd, "available", lambda: False)
+    ct2, po2, bits2, ks2 = analyze_batch(res, 1024)  # numpy oracle
+    assert (ct == ct2).all() and (po == po2).all()
+    assert (bits == bits2).all()
+    for v in range(res.shape[0]):
+        nparts = 1 << int(po[v])
+        assert (ks[v, :nparts] == ks2[v, :nparts]).all()
