@@ -1082,6 +1082,34 @@ void srla_preemph_coef_batch(const int32_t *data, long B, int n,
     }
 }
 
+#if defined(SRLA_X86_SIMD)
+// Vector body of the pre-emphasis filter: the "previous sample" is just
+// x[i-1] (not the filter's own output), so the whole row is elementwise:
+// y[i] = x[i] - (int32_wrap(x[i-1] * c) >> 4). mullo_epi32 IS the int32
+// wrap multiply; srai matches C's arithmetic >> on the wrapped product.
+__attribute__((target("avx2")))
+static void preemphasis_row_avx2(const int32_t *x, int32_t *y, int n,
+                                 int32_t c, int32_t p0) {
+    const __m256i cv = _mm256_set1_epi32(c);
+    int i = 0;
+    if (n > 0) {
+        const int32_t pr = (int32_t)(uint32_t)((int64_t)p0 * c) >> 4;
+        y[0] = (int32_t)((uint32_t)x[0] - (uint32_t)pr);
+        i = 1;
+    }
+    for (; i + 8 <= n; i += 8) {
+        __m256i xv = _mm256_loadu_si256((const __m256i *)(x + i));
+        __m256i pv = _mm256_loadu_si256((const __m256i *)(x + i - 1));
+        __m256i pr = _mm256_srai_epi32(_mm256_mullo_epi32(pv, cv), 4);
+        _mm256_storeu_si256((__m256i *)(y + i), _mm256_sub_epi32(xv, pr));
+    }
+    for (; i < n; i++) {
+        const int32_t pr = (int32_t)(uint32_t)((int64_t)x[i - 1] * c) >> 4;
+        y[i] = (int32_t)((uint32_t)x[i] - (uint32_t)pr);
+    }
+}
+#endif
+
 // Batched pre-emphasis filter: y[i] = x[i] - ((x[i-1]*coef) >> 4).
 void srla_preemphasis_batch(const int32_t *data, long B, int n,
                             const int32_t *coef, const int32_t *prev,
@@ -1090,6 +1118,12 @@ void srla_preemphasis_batch(const int32_t *data, long B, int n,
         const int32_t *x = data + (long)b * n;
         int32_t *y = out + (long)b * n;
         const int64_t c = coef[b];
+#if defined(SRLA_X86_SIMD)
+        if (srla_has_avx2() && n >= 9) {
+            preemphasis_row_avx2(x, y, n, (int32_t)c, prev[b]);
+            continue;
+        }
+#endif
         int64_t p = prev[b];
         for (int i = 0; i < n; i++) {
             const int32_t pr = (int32_t)(uint32_t)(p * c) >> 4;
