@@ -782,6 +782,26 @@ static int fir_rows_avx2(const int32_t *x, int32_t *r, const int32_t *c,
     const __m256i hv = _mm256_set1_epi32((int32_t)(uint32_t)half);
     const __m128i rsv = _mm_cvtsi32_si128(rs);
     int s = o;
+    // 16 outputs per iteration: two accumulators share each tap's
+    // broadcast coefficient, halving broadcasts and L1 loads per output
+    // and splitting the accumulate dependency chain.
+    for (; s + 16 <= n; s += 16) {
+        __m256i acc0 = hv, acc1 = hv;
+        const int32_t *base = x + s - o;
+        for (int i = 0; i < o; i++) {
+            const __m256i cv = _mm256_set1_epi32(c[i]);
+            __m256i x0 = _mm256_loadu_si256((const __m256i *)(base + i));
+            __m256i x1 = _mm256_loadu_si256((const __m256i *)(base + i + 8));
+            acc0 = _mm256_add_epi32(acc0, _mm256_mullo_epi32(x0, cv));
+            acc1 = _mm256_add_epi32(acc1, _mm256_mullo_epi32(x1, cv));
+        }
+        const __m256i xs0 = _mm256_loadu_si256((const __m256i *)(x + s));
+        const __m256i xs1 = _mm256_loadu_si256((const __m256i *)(x + s + 8));
+        _mm256_storeu_si256((__m256i *)(r + s),
+                            _mm256_add_epi32(xs0, _mm256_sra_epi32(acc0, rsv)));
+        _mm256_storeu_si256((__m256i *)(r + s + 8),
+                            _mm256_add_epi32(xs1, _mm256_sra_epi32(acc1, rsv)));
+    }
     for (; s + 8 <= n; s += 8) {
         __m256i acc = hv;
         const int32_t *base = x + s - o;
