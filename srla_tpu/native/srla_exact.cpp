@@ -583,11 +583,20 @@ static int32_t plain_rice_k_libm(double mean) {
 
 // The chain above is a monotone step function of the partition MEAN; its
 // step j sits where log2v crosses j - 0.5. Precompute each step's mean
-// once with a relative-1e-9 guard band (~1e4x wider than the chain's f64
-// rounding fuzz, still astronomically unlikely to be hit): means outside
-// every band resolve by comparison, means inside one fall back to the
-// exact chain. Replaces 3 libm logs per partition — the dominant -V
-// measurement cost on quiet/tonal content (up to 2047 partitions/block).
+// once with a guard band: means outside every band resolve by comparison,
+// means inside one fall back to the exact chain. Replaces 3 libm logs per
+// partition — the dominant -V measurement cost on quiet/tonal content (up
+// to 2047 partitions/block).
+//
+// Band width: the libm chain's own flip point is fuzzy in MEAN space at
+// ~2^(j-53) relative near boundary j (om = 1 - 1/(1+m) quantization makes
+// the chain's decision grain grow with the boundary mean), so a flat
+// relative-1e-9 band is too narrow for j >= 25 (means ~3.5e7+). Scale the
+// band with the boundary's actual fuzz — m * max(1e-9, 2^(j-51)) — so the
+// fast path stays conservative at every j. (With the codec's bounds —
+// plain Rice gated on block mean < 2.0, max_porder <= 10 ⇒ partition
+// means < 2048, boundaries j <= 11 — only the 1e-9 term is ever active;
+// the fuzz term future-proofs the helper for larger means.)
 // Same mean-space-boundary idea as the device table in kernels/exact.py
 // (_rice_k_boundaries), but with a fallback instead of a repair flag.
 static double plain_k_bound_lo[33];
@@ -601,7 +610,9 @@ static int plain_k_bounds_init(void) {
             log(0.5127629514437670454896078808815218508243560791015625)
             / v);
         const double m = om / (1.0 - om);
-        const double band = m * 1e-9 + 1e-12;
+        const double rel = 1e-9 > ldexp(4.0, j - 53) ? 1e-9
+                                                     : ldexp(4.0, j - 53);
+        const double band = m * rel + 1e-12;
         plain_k_bound_lo[j] = m - band;
         plain_k_bound_hi[j] = m + band;
     }
@@ -1107,6 +1118,12 @@ void srla_preemph_coef_batch(const int32_t *data, long B, int n,
 // x[i-1] (not the filter's own output), so the whole row is elementwise:
 // y[i] = x[i] - (int32_wrap(x[i-1] * c) >> 4). mullo_epi32 IS the int32
 // wrap multiply; srai matches C's arithmetic >> on the wrapped product.
+//
+// NOT in-place safe (x != y required): this path re-reads x[i-1] from
+// memory after y[i-1] may already be written, unlike the scalar loop it
+// replaced which carried the previous INPUT sample in a register. The
+// only caller (native_decoder.preemphasis_batch) always allocates a
+// fresh output; keep it that way or add an x==y scalar guard.
 __attribute__((target("avx2")))
 static void preemphasis_row_avx2(const int32_t *x, int32_t *y, int n,
                                  int32_t c, int32_t p0) {

@@ -124,6 +124,21 @@ def test_rice_k_boundary_fast_path(seed, monkeypatch):
     for f in np.linspace(1.2, 8.0, 24):
         r = rng.poisson(f, 1024)
         rows.append(r)
+    # Spike rows: all energy in ONE sample so the block mean stays < 2.0
+    # (the plain-Rice gate) while the finest partitions' means sweep the
+    # HIGH boundaries j=2..10 through plain_rice_k. The constant rows
+    # above with v >= 2 have block mean >= 2.0 and take the recursive
+    # branch, so without these the fast path only ever saw j=1.
+    optx = 0.5127629514437670454896078808815218508243560791015625
+    for j in range(2, 12):
+        om = np.exp(np.log(optx) / (2.0 ** (j - 0.5)))
+        mj = om / (1.0 - om)  # boundary j's mean (the k j-1 -> j step)
+        for u in sorted({int(np.floor(mj)) - 1, int(np.floor(mj)),
+                         int(np.ceil(mj)), int(np.ceil(mj)) + 1}):
+            if 0 < u <= 2046:  # block mean u/1024 < 2.0
+                r = np.zeros(1024, dtype=np.int64)
+                r[rng.randint(1024)] = u
+                rows.append(r)
     res = np.stack(rows).astype(np.int32)
     # zigzag^-1 so the search's zigzag recovers the intended u magnitudes
     res = np.where(res % 2 == 0, res // 2, -(res // 2) - 1)
