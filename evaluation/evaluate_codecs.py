@@ -394,11 +394,16 @@ def main():
 
     def flush():
         # Incremental write: multi-hour grid runs must not lose completed
-        # rows to one failing config.
+        # rows to one failing config. The aggregate CSV is rebuilt from the
+        # per-file rows with intersection semantics (evaluation/aggregate.py)
+        # so a codec measured on a file subset can never skew a mean.
+        from aggregate import aggregate as _aggregate
+        out_rows = _aggregate(file_rows) if file_rows else rows
         with open(args.out, "w", newline="") as f:
-            w = csv.DictWriter(f, fieldnames=fieldnames(rows), restval="")
+            w = csv.DictWriter(f, fieldnames=fieldnames(out_rows),
+                               restval="")
             w.writeheader()
-            w.writerows(rows)
+            w.writerows(out_rows)
         if args.per_file:
             with open(args.per_file, "w", newline="") as f:
                 w = csv.DictWriter(f, fieldnames=fieldnames(file_rows),

@@ -64,8 +64,47 @@ def load(csv_path):
 STRAT_TITLE = {"V0": "fixed blocks", "V2": "variable blocks (-V 2)",
                "P3": "long-term prediction (-P 3)"}
 
+# Published competitor numbers from the reference repo's committed results
+# (real FLAC/WavPack/TTA/Monkey's/ALS/TAK/HALAC binaries on the RWC corpus,
+# single x86 core — /root/reference/evaluation/
+# codec_comparison_summery_other_codecs.csv "total mean" rows). No real
+# competitor binary exists or is installable in this environment, so these
+# are imported as-published: DIFFERENT hardware and DIFFERENT corpus — use
+# them for order-of-magnitude context, not point comparison (the caveat is
+# stamped on every figure that shows them).
+COMPETITOR_CSV = ("/root/reference/evaluation/"
+                  "codec_comparison_summery_other_codecs.csv")
+COMPETITOR_PICKS = ["FLAC -8", "WavPack -hh -x4", "TTA",
+                    "Monkey's Audio -c4000", "MPEG4-ALS -7", "TAK -p4m",
+                    "HALAC V.0.3.8 -mt=1 -normal"]
+COMPETITOR_COLOR = "#8a8884"
 
-def plot_group(rows, strat, B, metric, outdir):
+
+def load_competitors(path=COMPETITOR_CSV):
+    """-> {codec: {"encode": %RT, "decode": %RT, "comp": %}} or {}."""
+    try:
+        with open(path) as f:
+            table = list(csv.reader(f))
+    except OSError:
+        return {}
+    header = table[0]
+    rows = {r[0]: r[1:] for r in table[1:] if r}
+    need = {"encode": "total mean encode time",
+            "decode": "total mean decode time",
+            "comp": "total mean compression rate"}
+    out = {}
+    for name in COMPETITOR_PICKS:
+        if name not in header[1:]:
+            continue
+        ix = header[1:].index(name)
+        try:
+            out[name] = {k: float(rows[v][ix]) for k, v in need.items()}
+        except (KeyError, ValueError, IndexError):
+            continue
+    return out
+
+
+def plot_group(rows, strat, B, metric, outdir, competitors=None):
     sel = [r for r in rows if r["strat"] == strat and r["B"] == B]
     if not sel:
         return None
@@ -87,6 +126,21 @@ def plot_group(rows, strat, B, metric, outdir):
             ax.annotate(f"m{r['preset']}", (r[metric], r["comp"]),
                         textcoords="offset points", xytext=(6, 5),
                         fontsize=7.5, color=TEXT2)
+    if competitors:
+        xs = [v[metric] for v in competitors.values()]
+        ys = [v["comp"] for v in competitors.values()]
+        ax.scatter(xs, ys, s=26, color=COMPETITOR_COLOR, marker="x",
+                   label="published competitors*", zorder=2, linewidths=1.2)
+        for name, v in competitors.items():
+            short = name.split(" V.")[0]
+            ax.annotate(short, (v[metric], v["comp"]),
+                        textcoords="offset points", xytext=(5, -8),
+                        fontsize=6.5, color=COMPETITOR_COLOR)
+        ax.text(0.99, 0.01,
+                "*reference-published (RWC corpus, other hardware):"
+                " context only, not same-run",
+                transform=ax.transAxes, ha="right", va="bottom",
+                fontsize=6.5, color=TEXT2)
     ax.set_xlabel(f"{metric} time, % of realtime (lower = faster)",
                   color=TEXT)
     ax.set_ylabel("compressed size, % of original (lower = smaller)",
@@ -109,14 +163,18 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--csv", default="evaluation/results_grid.csv")
     ap.add_argument("--outdir", default="evaluation/plots")
+    ap.add_argument("--no-competitors", action="store_true",
+                    help="Omit the published-competitor context markers")
     args = ap.parse_args()
     rows = load(args.csv)
+    competitors = {} if args.no_competitors else load_competitors()
     os.makedirs(args.outdir, exist_ok=True)
     groups = sorted({(r["strat"], r["B"]) for r in rows})
     made = []
     for strat, B in groups:
         for metric in ("encode", "decode"):
-            name = plot_group(rows, strat, B, metric, args.outdir)
+            name = plot_group(rows, strat, B, metric, args.outdir,
+                              competitors)
             if name:
                 made.append(name)
     print(f"wrote {len(made)} plots to {args.outdir}")
