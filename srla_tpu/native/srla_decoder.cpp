@@ -109,7 +109,8 @@ uint16_t fletcher16(const uint8_t *data, long size) {
 
 #if defined(SRLA_X86_SIMD)
 static inline bool srla_has_avx2() {
-    static const bool ok = __builtin_cpu_supports("avx2");
+    static const bool ok = __builtin_cpu_supports("avx2")
+        && !getenv("SRLA_FORCE_SCALAR");
     return ok;
 }
 

@@ -128,7 +128,10 @@ inline uint32_t zigzag32(int32_t v) {
 
 #if defined(SRLA_X86_SIMD)
 static inline bool srla_has_avx2_f() {
-    static const bool ok = __builtin_cpu_supports("avx2");
+    // SRLA_FORCE_SCALAR=1 pins the scalar rows on an AVX2 host — the CI
+    // ISA-matrix leg (the reference re-runs its suite per SIMD build).
+    static const bool ok = __builtin_cpu_supports("avx2")
+        && !getenv("SRLA_FORCE_SCALAR");
     return ok;
 }
 
@@ -416,7 +419,8 @@ void srla_window_autocorr_batch(
 
 #if defined(SRLA_X86_SIMD)
 static inline bool srla_has_avx2() {
-    static const bool ok = __builtin_cpu_supports("avx2");
+    static const bool ok = __builtin_cpu_supports("avx2")
+        && !getenv("SRLA_FORCE_SCALAR");
     return ok;
 }
 

@@ -24,6 +24,11 @@ _LOCK = threading.Lock()
 
 @lru_cache(maxsize=None)
 def _load():
+    if os.environ.get("SRLA_NATIVE_DISABLE"):
+        # Kill switch: force the pure-NumPy paths (CI leg validating hosts
+        # without a toolchain — the analogue of the reference's scalar CI
+        # build, /root/reference/.github/workflows/c-cpp.yml).
+        raise OSError("native library disabled via SRLA_NATIVE_DISABLE")
     cache_dir = os.path.join(_NATIVE_DIR, "build")
     os.makedirs(cache_dir, exist_ok=True)
     so_path = os.path.join(cache_dir, "libsrla_native.so")
