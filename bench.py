@@ -149,9 +149,15 @@ def main():
                 times_d.append(time.time() - t4)
                 oks.append(ok)
             tpu_decode_xrt = seconds / min(times_d)
-            t5 = time.time()
-            _, out_tpu = SRLADecoder(backend="tpu").decode_whole(stream)
-            tpu_decode_e2e_xrt = seconds / (time.time() - t5)
+            # e2e (PCM fetched to host): best-of-3 like every other row —
+            # a single run is a lottery over tunnel windows.
+            times_e = []
+            out_tpu = None
+            for _ in range(3):
+                t5 = time.time()
+                _, out_tpu = SRLADecoder(backend="tpu").decode_whole(stream)
+                times_e.append(time.time() - t5)
+            tpu_decode_e2e_xrt = seconds / min(times_e)
             tpu_lossless = (all(oks)
                             and bool(np.array_equal(out_tpu, pcm)))
         except Exception as e:

@@ -382,6 +382,19 @@ class SRLADecoder:
         groups: dict[int, list] = {}
         for b, n in enumerate(sizes):
             groups.setdefault(n, []).append(b)
+        # Two-deep software pipeline over group chunks: dispatch up to two
+        # chunks' device programs before fetching the oldest, so later
+        # chunks' device compute overlaps the current chunk's D2H PCM fetch
+        # and host placement (dispatch is async; the fetch in
+        # _decode_group_finish is the only sync point).
+        from collections import deque
+        pend: deque = deque()
+
+        def drain_one():
+            st = pend.popleft()
+            self._decode_group_finish(st, data, pp, poffs, psizes, progs,
+                                      header, pcm)
+
         for n, idxs in groups.items():
             if len(idxs) < self._DEV_MIN_GROUP:
                 self.stats["host_blocks"] += len(idxs)
@@ -405,14 +418,25 @@ class SRLADecoder:
             chunk = max(256, (self._DEV_SNAP_BYTES // ((Wmax + 1) * 128))
                         // 256 * 256)
             for lo in range(0, len(idxs), chunk):
-                self._decode_group_device(
+                pend.append(self._decode_group_dispatch(
                     data, idxs[lo:lo + chunk], pp, poffs, psizes,
-                    progs, header, n, pcm)
+                    header, n))
+                if len(pend) > 2:
+                    drain_one()
+        while pend:
+            drain_one()
         return pcm
 
     def _decode_group_device(self, data, idxs, pp, poffs, psizes, progs,
                              header: StreamHeader, n: int,
                              pcm: np.ndarray) -> None:
+        st = self._decode_group_dispatch(data, idxs, pp, poffs, psizes,
+                                         header, n)
+        self._decode_group_finish(st, data, pp, poffs, psizes, progs,
+                                  header, pcm)
+
+    def _decode_group_dispatch(self, data, idxs, pp, poffs, psizes,
+                               header: StreamHeader, n: int) -> dict:
         import os
 
         import jax.numpy as jnp
@@ -433,7 +457,6 @@ class SRLADecoder:
         M = max(int(pp["orders"][sel].max()), 1)
         M = ((M + 7) // 8) * 8
 
-        repair = []
         if use_v2 and self.mesh is None:
             # Stream-paged path: the .srl bytes cross the link once at
             # exact size; block windows, byteswap, and bit alignment all
@@ -455,6 +478,25 @@ class SRLADecoder:
         else:
             out = self._decode_group_staged(data, idxs, pp, poffs, psizes,
                                             header, n, C, W, M, use_v2)
+        # 16-bit content crosses the link as int16 (the D2H tunnel runs at
+        # 17-53 MB/s — halving bytes halves the dominant decode cost at
+        # file scale). The conversion is dispatched HERE so it queues right
+        # behind the decode program; the verify path needs the int32 PCM.
+        narrow = (header.bits_per_sample <= 16
+                  and self._device_expected is None)
+        if narrow:
+            import jax.numpy as jnp
+            out = out.astype(jnp.int16)
+        return dict(out=out, idxs=idxs, n=n, narrow=narrow)
+
+    def _decode_group_finish(self, st: dict, data, pp, poffs, psizes, progs,
+                             header: StreamHeader, pcm: np.ndarray) -> None:
+        import jax.numpy as jnp
+
+        out, idxs, n = st["out"], st["idxs"], st["n"]
+        C = header.num_channels
+        B = len(idxs)
+        repair = []
         self.stats["device_blocks"] += B - len(repair)
         self.stats["host_blocks"] += len(repair)
         repair_set = set(repair)
@@ -485,12 +527,10 @@ class SRLADecoder:
                 pcm[:, progs[b]:progs[b] + n] = self.synthesize_block(
                     bp, header, n)
             return
-        # 16-bit content crosses the link as int16 (the D2H tunnel runs at
-        # 17-53 MB/s — halving bytes halves the dominant decode cost at
-        # file scale). Convert the full bucketed array (stable compile
-        # key) and slice the real rows host-side.
-        if header.bits_per_sample <= 16:
-            out = np.asarray(out.astype(jnp.int16))[:B].astype(np.int32)
+        # Fetch (the narrow int16 conversion was dispatched with the decode
+        # program); slice the real rows host-side (stable compile key).
+        if st["narrow"]:
+            out = np.asarray(out)[:B].astype(np.int32)
         else:
             out = np.asarray(out)[:B]
         for bi, b in enumerate(idxs):

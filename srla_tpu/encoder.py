@@ -1191,9 +1191,30 @@ class SRLAEncoder:
                              offset_lshift: int) -> dict[int, bytes]:
         """Encode one equal-size block group with on-device analysis AND
         on-device residual packing; only parameters and the compacted packed
-        sections cross the (slow) device->host link."""
-        st = self._device_dispatch(pcm, spans, idxs, size, offset_lshift)
-        return self._device_finish(st, pcm, spans, size, offset_lshift)
+        sections cross the (slow) device->host link.
+
+        Large groups are split into _HYBRID_DEV_CHUNK-block chunks with a
+        two-deep software pipeline: up to two chunks are dispatched before
+        the oldest is fetched, so the next chunks' upload + device compute
+        overlap the current chunk's D2H fetch and host assembly (dispatch is
+        async; the result fetch in _device_finish is the only sync point).
+        Chunks reuse one compile bucket, so this adds no new device programs.
+        """
+        from collections import deque
+
+        CH = self._HYBRID_DEV_CHUNK
+        results: dict[int, bytes] = {}
+        pend: deque = deque()
+        for lo in range(0, len(idxs), CH):
+            pend.append(self._device_dispatch(
+                pcm, spans, idxs[lo:lo + CH], size, offset_lshift))
+            if len(pend) > 2:
+                results.update(self._device_finish(
+                    pend.popleft(), pcm, spans, size, offset_lshift))
+        while pend:
+            results.update(self._device_finish(
+                pend.popleft(), pcm, spans, size, offset_lshift))
+        return results
 
     def _device_finish(self, st: dict, pcm, spans, size: int,
                        offset_lshift: int) -> dict[int, bytes]:
@@ -1899,7 +1920,7 @@ def encode_files(pcm_list, bits_per_sample: int, sampling_rate: int,
                  preset: int = 4, max_block: int = 4096,
                  variable_divisions: int = 0, lookahead_factor: int = 4,
                  ltp_order: int = 0, svr_iterations: int = 0,
-                 backend: str = "tpu") -> list:
+                 backend: str = "tpu", mesh=None) -> list:
     """Batched multi-file encode (corpus throughput runs).
 
     Fixed-block encodes of files sharing (channels, offset_lshift) are
@@ -1909,6 +1930,10 @@ def encode_files(pcm_list, bits_per_sample: int, sampling_rate: int,
     remote device link. Variable-block (-V) and mixed-format corpora fall
     back to sequential per-file encoding; device programs are still shared
     (fixed compile buckets). Streams come back in input order.
+
+    mesh: optional jax.sharding.Mesh — device dispatches shard the global
+    (cross-file) block axis over it, so every chip sees one corpus-wide
+    batch instead of per-file slices.
     """
 
     def make_param(C):
@@ -1933,10 +1958,11 @@ def encode_files(pcm_list, bits_per_sample: int, sampling_rate: int,
         for (C, lshift), idxs in groups.items():
             if len(idxs) == 1:
                 i = idxs[0]
-                out[i] = SRLAEncoder(make_param(C),
-                                     backend=backend).encode_whole(pcms[i])
+                out[i] = SRLAEncoder(
+                    make_param(C), backend=backend,
+                    mesh=mesh).encode_whole(pcms[i])
                 continue
-            enc = SRLAEncoder(make_param(C), backend=backend)
+            enc = SRLAEncoder(make_param(C), backend=backend, mesh=mesh)
             cat = np.concatenate([pcms[i] for i in idxs], axis=1)
             spans = []
             ranges = []
@@ -1961,7 +1987,7 @@ def encode_files(pcm_list, bits_per_sample: int, sampling_rate: int,
     for i, pcm in enumerate(pcms):
         param = make_param(pcm.shape[0])
         if enc is None or enc.p != param:
-            enc = SRLAEncoder(param, backend=backend)
+            enc = SRLAEncoder(param, backend=backend, mesh=mesh)
         out[i] = enc.encode_whole(pcm)
     return [out[i] for i in range(len(pcms))]
 

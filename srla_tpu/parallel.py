@@ -74,48 +74,66 @@ def full_step_sharded(mesh: Mesh, sig: np.ndarray, *, n: int, bps: int = 16,
 def encode_corpus_sharded(mesh: Mesh, pcm_list, bits_per_sample: int,
                           sampling_rate: int, preset: int = 4,
                           max_block: int = 4096):
-    """Encode a corpus of files with the block axis sharded over the mesh.
+    """Encode a corpus of files with ONE GLOBAL block axis sharded over the
+    mesh: files sharing (channels, offset_lshift) are cross-file batched
+    (encoder.encode_files), and every device dispatch uploads its block
+    batch with NamedSharding(P("blocks", ...)), so all chips work on one
+    corpus-wide batch — not per-file slices. Blocks are independent
+    (SURVEY §5), so the only cross-chip traffic is the gather/compaction of
+    chosen packed sections.
 
-    Every file's block batch is uploaded with NamedSharding(P("blocks", ...)),
-    so device analysis runs block-parallel across all chips; assembly stays
-    on host. This is the corpus-throughput deployment shape (SURVEY §7 step
-    7): blocks are independent, so the only cross-chip traffic is the
-    gather/compaction of chosen packed sections.
-
-    Returns a list of .srl byte streams (valid + lossless; the device path
-    picks parameters in f32 — see SRLAEncoder backend notes).
+    Returns a list of .srl byte streams, byte-exact with the single-device
+    exact path.
     """
-    from .encoder import EncodeParameter, SRLAEncoder
+    from .encoder import encode_files
 
-    out = []
-    for pcm in pcm_list:
-        pcm = np.asarray(pcm, dtype=np.int32)
-        param = EncodeParameter(
-            num_channels=pcm.shape[0], bits_per_sample=bits_per_sample,
-            sampling_rate=sampling_rate, preset=preset,
-            max_num_samples_per_block=max_block,
-            min_num_samples_per_block=max_block,
-            num_lookahead_samples=4 * max_block)
-        enc = SRLAEncoder(param, backend="tpu", mesh=mesh)
-        out.append(enc.encode_whole(pcm))
-    return out
+    return encode_files(pcm_list, bits_per_sample, sampling_rate,
+                        preset=preset, max_block=max_block, backend="tpu",
+                        mesh=mesh)
 
 
 def decode_corpus_sharded(mesh: Mesh, streams, check_checksum: bool = True):
-    """Decode a corpus of .srl streams with the block axis sharded over the
-    mesh: the word-machine entropy scan, compaction, and synthesis scans all
-    run SPMD over blocks (kernels/decode2.py is elementwise/scan over the
-    block axis, so GSPMD inserts no collectives until the host fetch).
+    """Decode a corpus of .srl streams with ONE GLOBAL block axis sharded
+    over the mesh.
+
+    Blocks are self-delimiting and independent, so streams with compatible
+    headers (channels/bps/lshift) are fused into a single VIRTUAL stream —
+    their block sections concatenated behind one header — and decoded as one
+    file: all equal-size blocks across the whole corpus join the same device
+    group, and GSPMD shards that global block axis (the word-machine entropy
+    scan, compaction, and synthesis scans are elementwise/scan over it, so
+    no collectives appear until the host fetch). The fused PCM splits back
+    per file at the end.
 
     Returns a list of (C, N) int32 PCM arrays, bit-exact with the
     single-device / host decode.
     """
+    from .constants import HEADER_SIZE
     from .decoder import SRLADecoder
+    from .format import decode_header, encode_header, StreamHeader
 
-    out = []
-    for stream in streams:
+    out: dict[int, np.ndarray] = {}
+    groups: dict[tuple, list[int]] = {}
+    headers = [decode_header(s) for s in streams]
+    for i, h in enumerate(headers):
+        groups.setdefault((h.num_channels, h.bits_per_sample,
+                           h.offset_lshift, h.max_num_samples_per_block,
+                           h.preset, h.sampling_rate), []).append(i)
+    for key, idxs in groups.items():
         dec = SRLADecoder(check_checksum=check_checksum, backend="tpu",
                           mesh=mesh)
-        _, pcm = dec.decode_whole(stream)
-        out.append(pcm)
-    return out
+        if len(idxs) == 1:
+            _, out[idxs[0]] = dec.decode_whole(streams[idxs[0]])
+            continue
+        C, bps, lshift, max_block, preset, rate = key
+        total = sum(headers[i].num_samples for i in idxs)
+        virtual = encode_header(StreamHeader(
+            C, total, rate, bps, lshift, max_block, preset)) + b"".join(
+            streams[i][HEADER_SIZE:] for i in idxs)
+        _, pcm = dec.decode_whole(virtual)
+        off = 0
+        for i in idxs:
+            n_i = headers[i].num_samples
+            out[i] = pcm[:, off:off + n_i]
+            off += n_i
+    return [out[i] for i in range(len(streams))]
