@@ -175,7 +175,7 @@ def main():
                           "unit": "x_realtime", "vs_baseline": 0.0}))
         return 1
 
-    print(json.dumps({
+    out = {
         "metric": "encode_xrt_m4_b4096",
         "value": round(encode_xrt, 2),
         "unit": "x_realtime",
@@ -187,8 +187,43 @@ def main():
         "exact_host_xrt": round(exact_xrt, 2),
         "compression_pct": round(ratio, 2),
         "byte_exact_vs_host": bool(byte_exact),
-    }))
+    }
+    # Same-host comparison against the reference BINARY from the committed
+    # 120 s evaluation grid (vs_baseline above mixes hardware AND content
+    # differences; this row is reference-vs-us on identical files and the
+    # same machine). grid_speedup_vs_ref > 1 means we beat the reference
+    # binary at the matched -m 4 -V 0 -B 4096 point.
+    out.update(_grid_summary())
+    print(json.dumps(out))
     return 0
+
+
+def _grid_summary(cfg: str = "-m 4 -V 0 -B 4096") -> dict:
+    import csv
+    import os
+    path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                        "evaluation", "results_grid_120s.csv")
+    try:
+        with open(path, newline="") as f:
+            rows = [r for r in csv.DictReader(f) if r["config"] == cfg]
+    except OSError:
+        return {}
+    by = {r["codec"]: r for r in rows}
+    ref = by.get("reference")
+    best = by.get("srla_tpu[tpu]") or by.get("srla_tpu[exact]")
+    if not ref or not best:
+        return {}
+    try:
+        return {
+            "grid_ref_encode_pct_rt": float(ref["encode_pct_rt"]),
+            "grid_encode_pct_rt": float(best["encode_pct_rt"]),
+            "grid_codec": best["codec"],
+            "grid_speedup_vs_ref": round(
+                float(ref["encode_pct_rt"]) / float(best["encode_pct_rt"]),
+                3),
+        }
+    except (KeyError, ValueError, ZeroDivisionError):
+        return {}
 
 
 if __name__ == "__main__":

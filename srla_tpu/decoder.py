@@ -267,9 +267,12 @@ class SRLADecoder:
         return header, pcm
 
 
-    # Device decode tuning. Groups smaller than _DEV_MIN_GROUP are decoded
-    # on host (compiling a device program for a couple of stragglers costs
-    # more than it saves); the fallback is counted in self.stats. Chunking
+    # Device decode tuning. Groups smaller than _DEV_MIN_GROUP (override:
+    # SRLA_DEV_MIN_GROUP, =1 forces everything device-side — the device
+    # handles any group size, tiny ones reuse the padded compile bucket)
+    # are decoded on host: one dispatch+fetch costs 25-500 ms through this
+    # link vs ~1 ms of host decode for a straggler block, so the threshold
+    # is a latency policy; the routing is counted in self.stats. Chunking
     # bounds the snapshot table's footprint (rows * (W+1) * 32 * 4 bytes
     # per chunk) — fewer, larger chunks amortize the per-word entropy scan,
     # whose step count is W per chunk regardless of row count.
@@ -396,7 +399,13 @@ class SRLADecoder:
                                       header, pcm)
 
         for n, idxs in groups.items():
-            if len(idxs) < self._DEV_MIN_GROUP:
+            import os as _os
+            try:
+                min_group = int(_os.environ.get("SRLA_DEV_MIN_GROUP",
+                                                str(self._DEV_MIN_GROUP)))
+            except ValueError:
+                min_group = self._DEV_MIN_GROUP
+            if len(idxs) < min_group:
                 self.stats["host_blocks"] += len(idxs)
                 if self._device_expected is not None:
                     self._host_spans.extend((progs[b], n) for b in idxs)

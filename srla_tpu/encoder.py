@@ -718,9 +718,17 @@ class SRLAEncoder:
                 by_size.setdefault(size, []).append(i)
         C = pcm.shape[0]
         for size, idxs in by_size.items():
-            # Large equal-size groups go through the device pipeline
-            # (analysis + residual packing on TPU); small groups stay host.
-            if self.backend == "tpu" and len(idxs) * max(C, 2) >= 8 \
+            # Equal-size groups go through the device pipeline (analysis +
+            # residual packing on TPU). Groups below the row threshold stay
+            # host: the device handles ANY group size (tiny groups reuse the
+            # same padded compile bucket — see test_exact_device's
+            # min-group test), but one dispatch+fetch costs 25-500 ms
+            # through this link vs ~2 ms of host encode for <=3 blocks, so
+            # routing stragglers device-side is a latency policy, not a
+            # capability line. SRLA_TPU_MIN_GROUP_ROWS=1 forces everything
+            # device-side.
+            if self.backend == "tpu" \
+                    and len(idxs) * max(C, 2) >= self._min_group_rows() \
                     and self._device_size_ok(size):
                 results.update(self._encode_group_hybrid(
                     pcm, spans, idxs, size, offset_lshift))
@@ -1076,6 +1084,14 @@ class SRLAEncoder:
         return state
 
     # -- device (TPU) group encode: on-device packing --------------------- #
+
+    @staticmethod
+    def _min_group_rows() -> int:
+        import os
+        try:
+            return int(os.environ.get("SRLA_TPU_MIN_GROUP_ROWS", "8"))
+        except ValueError:
+            return 8
 
     def _device_args(self, n: int):
         from .dsp.fft import round_up_pow2
@@ -1775,14 +1791,26 @@ class SRLAEncoder:
             else:
                 idxs_compress.append(k)
         if idxs_compress:
-            blocks = np.stack([window[:, offsets[k]:offsets[k] + size]
-                               for k in idxs_compress]).astype(np.int32)
-            if self.backend == "tpu" and len(idxs_compress) * max(C, 2) >= 8 \
-                    and self._device_size_ok(size):
-                bits = self._measure_group_device(blocks, size, offset_lshift)
+            use_dev = (self.backend == "tpu"
+                       and len(idxs_compress) * max(C, 2)
+                       >= self._min_group_rows()
+                       and self._device_size_ok(size))
+            if use_dev and not self._approx_device:
+                # Exact device route: the source array crosses the link once
+                # (cached across the per-size calls of one -V search); spans
+                # are cut on device (kernels.exact.measure_spans_exact).
+                bits = self._measure_spans_device(
+                    window, [offsets[k] for k in idxs_compress], size,
+                    offset_lshift)
             else:
-                _method, _params, bits = self._compute_coefficients(
-                    blocks, size, offset_lshift, measure_only=True)
+                blocks = np.stack([window[:, offsets[k]:offsets[k] + size]
+                                   for k in idxs_compress]).astype(np.int32)
+                if use_dev:
+                    bits = self._measure_group_device(blocks, size,
+                                                      offset_lshift)
+                else:
+                    _method, _params, bits = self._compute_coefficients(
+                        blocks, size, offset_lshift, measure_only=True)
             for bi, k in enumerate(idxs_compress):
                 nbits = int(bits[bi])
                 if nbits >= self.p.bits_per_sample * size * C:
@@ -1847,6 +1875,66 @@ class SRLAEncoder:
             self.stats["repaired_blocks"] += int(risky_bi.sum())
             _m, _p, host_bits = self._compute_coefficients(
                 blocks[risky_bi], size, offset_lshift, measure_only=True)
+            bits[risky_bi] = host_bits
+        return bits
+
+    def _measure_spans_device(self, window: np.ndarray, offsets, size: int,
+                              offset_lshift: int) -> np.ndarray:
+        """Exact device span measurement with the source resident on device.
+
+        The -V search calls this once per span size over the same source
+        array; the upload is cached on the encoder (keyed by the array's
+        identity), so the samples cross the link once per search, not once
+        per size. Boundary-flagged spans are re-measured on the host —
+        identical bits either way."""
+        import jax
+
+        from .kernels.exact import measure_spans_exact
+
+        C = window.shape[0]
+        B = len(offsets)
+        bps = self.p.bits_per_sample
+        cache = getattr(self, "_mcache", None)
+        if cache is None or cache[0] is not window:
+            up_dtype = np.int16 if bps <= 16 else np.int32
+            self._mcache = (window, jax.device_put(
+                np.ascontiguousarray(window, dtype=up_dtype)))
+            cache = self._mcache
+        file_dev = cache[1]
+        Bp = ((B + 127) // 128) * 128
+        offs = np.zeros(Bp, np.int32)
+        offs[:B] = offsets
+        small = measure_spans_exact(
+            file_dev, offs, np.int32(offset_lshift), C=C,
+            ltp_order=self.p.ltp_order,
+            svr_iter=self.p.num_svr_filter_learning_iteration,
+            margins=tuple(self.preset.margin_list),
+            **self._device_args(size))
+        small = jax.device_get(small)
+        nvar = C + 2 if C >= 2 else 1
+        risky_bi = np.asarray(
+            small["risky"]).reshape(nvar, Bp)[:, :B].any(axis=0)
+        maxp = max(self.preset.max_num_parameters, 1)
+        code_len, _ = self._account_bits(
+            small["section_bits"].astype(np.int64), small["orders"],
+            small["coefs"][:, :maxp], small["ltp_period"], self.p.ltp_order)
+
+        def cl(vix):
+            return code_len[vix * Bp:vix * Bp + B]
+        if C == 1:
+            bits = cl(0).copy()
+        else:
+            lens = np.stack([cl(2) + cl(3), cl(0) + cl(1),
+                             cl(2) + cl(1), cl(3) + cl(1)])
+            bits = lens.min(axis=0)
+        bits = ((bits + 2 + 7) // 8) * 8
+        if risky_bi.any():
+            self.stats["repaired_blocks"] += int(risky_bi.sum())
+            blocks = np.stack(
+                [window[:, offsets[k]:offsets[k] + size]
+                 for k in np.flatnonzero(risky_bi)]).astype(np.int32)
+            _m, _p, host_bits = self._compute_coefficients(
+                blocks, size, offset_lshift, measure_only=True)
             bits[risky_bi] = host_bits
         return bits
 

@@ -28,11 +28,46 @@ def enable_xla_cache() -> None:
             "SRLA_TPU_XLA_CACHE_DIR",
             _os.path.join(_os.path.expanduser("~"), ".cache", "srla_tpu",
                           "xla"))
+        # XLA:CPU AOT entries are host-ISA-specific (see _host_fingerprint);
+        # device (TPU) entries are host-independent and expensive to rebuild
+        # through the remote link, so only the CPU backend is diverted to a
+        # per-host subdirectory.
+        if jax.default_backend() == "cpu":
+            path = _os.path.join(path, "cpu-" + _host_fingerprint())
         _os.makedirs(path, exist_ok=True)
         jax.config.update("jax_compilation_cache_dir", path)
         jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)
     except Exception:
         pass
+
+
+def _host_fingerprint() -> str:
+    """Cache-dir suffix tying XLA:CPU AOT entries to this host's ISA.
+
+    The cache key does NOT cover the compile host's CPU features, and
+    XLA:CPU AOT executables compiled on a machine with a different feature
+    set SIGSEGV/SIGILL when deserialized (observed: a cache entry written
+    on an avx512-era host segfaulted jax's get_executable_and_time on a
+    later machine — the cpu_aot_loader feature-mismatch warning escalated
+    from 'harmless fallback' to a crash). Device (TPU) entries are
+    host-independent but cheap to re-create per fingerprint."""
+    try:
+        import hashlib
+        import platform
+        flags = ""
+        try:
+            with open("/proc/cpuinfo") as f:
+                for line in f:
+                    if line.startswith("flags"):
+                        flags = " ".join(sorted(line.split(":", 1)[1].split()))
+                        break
+        except OSError:
+            pass
+        h = hashlib.sha256(
+            (platform.machine() + "|" + flags).encode()).hexdigest()[:12]
+        return h
+    except Exception:
+        return "generic"
 
 
 enable_xla_cache()

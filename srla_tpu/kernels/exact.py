@@ -1234,6 +1234,38 @@ def _variant_analysis(blocks, lshift, *, n, bps, max_params, max_fixed,
 @partial(jax.jit, static_argnames=("n", "bps", "max_params", "max_fixed",
                                    "fft_size", "max_porder", "C",
                                    "ltp_order", "svr_iter", "margins"))
+def measure_spans_exact(file: jnp.ndarray, offs: jnp.ndarray, lshift, *,
+                        n: int, bps: int, max_params: int, max_fixed: bool,
+                        fft_size: int, max_porder: int, C: int,
+                        ltp_order: int = 0, svr_iter: int = 0,
+                        margins: tuple = ()):
+    """Span measurement for the -V partition search.
+
+    The -V search measures every candidate span of every lookahead window —
+    ~(dmax/dmin)x the file's samples. Stacking those overlapping spans on
+    host and uploading them re-sends the file ~4x per search
+    (srla_encoder.c:310-424 is the same measured-edge search, but its cost
+    is compute; ours was the host->device link). Here the file crosses the
+    link ONCE as a (C, N) resident array and every (offset, n) span is cut
+    on device; only the decision-sized outputs come back.
+
+    file: (C, N) int (int16 ok); offs: (Bp,) int32 with off + n <= N.
+    Returns the `small` dict of analyze_blocks_exact (bit accounting inputs
+    + risky flags); the residual pack is never materialized.
+    """
+    blocks = jax.vmap(
+        lambda o: jax.lax.dynamic_slice(file, (0, o), (C, n)))(offs)
+    small, _u, _out = _variant_analysis(
+        blocks, lshift, n=n, bps=bps, max_params=max_params,
+        max_fixed=max_fixed, fft_size=fft_size, max_porder=max_porder, C=C,
+        ltp_order=ltp_order, svr_iter=svr_iter, margins=margins)
+    return {k: small[k] for k in ("section_bits", "orders", "coefs",
+                                  "risky", "ltp_period")}
+
+
+@partial(jax.jit, static_argnames=("n", "bps", "max_params", "max_fixed",
+                                   "fft_size", "max_porder", "C",
+                                   "ltp_order", "svr_iter", "margins"))
 def analyze_blocks_exact(blocks: jnp.ndarray, lshift, *, n: int, bps: int,
                          max_params: int, max_fixed: bool, fft_size: int,
                          max_porder: int, C: int, ltp_order: int = 0,

@@ -151,3 +151,37 @@ def test_flat_pack_impl_stream_identical(monkeypatch):
     monkeypatch.setenv("SRLA_PACK_IMPL", "flat")
     got = encode(pcm, 16, 44100, preset=2, max_block=1024, backend="tpu")
     assert got == want
+
+
+def test_min_group_threshold_is_policy_not_capability(monkeypatch):
+    """The device pipeline handles ANY group size: with the row thresholds
+    forced to 1, a single-block file must encode AND decode through the
+    device path (no host routing) and stay byte-exact vs the exact host
+    stream. The default thresholds only exist because one dispatch+fetch
+    costs 25-500 ms through the remote link vs ~2 ms of host work for a
+    straggler block."""
+    import signals
+    from srla_tpu import encode
+    from srla_tpu.decoder import SRLADecoder
+    from srla_tpu.encoder import EncodeParameter, SRLAEncoder
+
+    pcm = signals.ALL["sine"](4096, 2, 16)          # exactly one block
+    want = encode(pcm, 16, 44100, preset=2, backend="exact")
+    monkeypatch.setenv("SRLA_TPU_MIN_GROUP_ROWS", "1")
+    monkeypatch.setenv("SRLA_TPU_HOST_SHARE", "0")
+    param = EncodeParameter(
+        num_channels=2, bits_per_sample=16, sampling_rate=44100, preset=2,
+        max_num_samples_per_block=4096, min_num_samples_per_block=4096,
+        num_lookahead_samples=4 * 4096)
+    enc = SRLAEncoder(param, backend="tpu")
+    got = enc.encode_whole(pcm)
+    assert got == want
+    assert enc.stats["device_blocks"] == 1, enc.stats
+    assert enc.stats["host_blocks"] == 0, enc.stats
+
+    monkeypatch.setenv("SRLA_DEV_MIN_GROUP", "1")
+    dec = SRLADecoder(backend="tpu")
+    _, out = dec.decode_whole(got)
+    assert np.array_equal(out, pcm)
+    assert dec.stats["device_blocks"] == 1, dec.stats
+    assert dec.stats["host_blocks"] == 0, dec.stats
