@@ -44,6 +44,45 @@ def _bucket(v: int, floor: int = 1) -> int:
     return v
 
 
+def _fetch_concurrent(arr, parts: int = 0) -> np.ndarray:
+    """D2H fetch of a device array as `parts` concurrent slice transfers.
+
+    The device link multiplexes independent transfers, so splitting one
+    large fetch into concurrent row-slice fetches raises effective D2H
+    bandwidth (each slice is a static-bound device op whose executable is
+    cached per (shape, k) — row counts are already bucket-padded by the
+    callers, so the executable set stays small). SRLA_FETCH_PARTS
+    overrides; parts<=1, small arrays, and the CPU backend fetch whole.
+    """
+    import os
+
+    env = os.environ.get("SRLA_FETCH_PARTS", "")
+    if env:
+        try:
+            parts = int(env)
+        except ValueError:
+            pass
+    if parts <= 0:
+        parts = 4
+    nbytes = arr.size * arr.dtype.itemsize
+    rows = arr.shape[0]
+    if parts <= 1 or nbytes < (2 << 20) or rows < parts:
+        return np.asarray(arr)
+    try:
+        import jax
+        if jax.default_backend() == "cpu":
+            return np.asarray(arr)
+    except Exception:
+        return np.asarray(arr)
+    import concurrent.futures as cf
+    step = -(-rows // parts)
+    chunks = [arr[k * step:(k + 1) * step]
+              for k in range(parts) if k * step < rows]
+    with cf.ThreadPoolExecutor(len(chunks)) as ex:
+        outs = list(ex.map(np.asarray, chunks))
+    return np.concatenate(outs, axis=0)
+
+
 @dataclass
 class _BlockParams:
     method: int
@@ -424,7 +463,9 @@ class SRLADecoder:
                 continue
             Wmax = max((int(psizes[np.asarray(idxs)].max()) + 3) // 4, 1)
             Wmax = ((Wmax + 511) // 512) * 512
-            chunk = max(256, (self._DEV_SNAP_BYTES // ((Wmax + 1) * 128))
+            snap_bytes = int(_os.environ.get("SRLA_DEV_SNAP_BYTES",
+                                             str(self._DEV_SNAP_BYTES)))
+            chunk = max(256, (snap_bytes // ((Wmax + 1) * 128))
                         // 256 * 256)
             for lo in range(0, len(idxs), chunk):
                 pend.append(self._decode_group_dispatch(
@@ -537,11 +578,14 @@ class SRLADecoder:
                     bp, header, n)
             return
         # Fetch (the narrow int16 conversion was dispatched with the decode
-        # program); slice the real rows host-side (stable compile key).
+        # program); slice the real rows host-side (stable compile key). The
+        # fetch is split into concurrent slice transfers — the dominant e2e
+        # decode cost at file scale is this D2H PCM transfer, and the link
+        # multiplexes independent streams.
         if st["narrow"]:
-            out = np.asarray(out)[:B].astype(np.int32)
+            out = _fetch_concurrent(out)[:B].astype(np.int32)
         else:
-            out = np.asarray(out)[:B]
+            out = _fetch_concurrent(out)[:B]
         for bi, b in enumerate(idxs):
             if bi in repair_set:
                 # Pathologically sparse payload (an output 32-block spans
