@@ -130,11 +130,19 @@ def main():
     tpu_decode_e2e_xrt = 0.0
     tpu_lossless = False
     if backend == "tpu":
-        import jax
-        import jax.numpy as jnp
+        # The tunnel can hang a device op indefinitely (no cancellation in
+        # jax) — run the whole device-decode measurement on a DAEMON thread
+        # with a wall-clock budget so a dead link degrades this row to 0.0
+        # instead of hanging the bench (daemon: a stuck thread can't block
+        # process exit either).
+        import threading
 
-        from srla_tpu.decoder import SRLADecoder
-        try:
+        res: dict = {}
+
+        def _tpu_decode_rows():
+            import jax
+
+            from srla_tpu.decoder import SRLADecoder
             exp_dev = jax.device_put(pcm)
             exp_dev.block_until_ready()
             SRLADecoder(backend="tpu").decode_whole_device_resident(
@@ -148,7 +156,7 @@ def main():
                         stream, (exp_dev, pcm))
                 times_d.append(time.time() - t4)
                 oks.append(ok)
-            tpu_decode_xrt = seconds / min(times_d)
+            res["xrt"] = seconds / min(times_d)
             # e2e (PCM fetched to host): best-of-3 like every other row —
             # a single run is a lottery over tunnel windows.
             times_e = []
@@ -157,9 +165,23 @@ def main():
                 t5 = time.time()
                 _, out_tpu = SRLADecoder(backend="tpu").decode_whole(stream)
                 times_e.append(time.time() - t5)
-            tpu_decode_e2e_xrt = seconds / min(times_e)
-            tpu_lossless = (all(oks)
-                            and bool(np.array_equal(out_tpu, pcm)))
+            res["e2e"] = seconds / min(times_e)
+            res["lossless"] = (all(oks)
+                               and bool(np.array_equal(out_tpu, pcm)))
+
+        th = threading.Thread(target=_tpu_decode_rows, daemon=True)
+        try:
+            th.start()
+            # Generous budget: first run may still compile subprograms.
+            th.join(timeout=float(
+                __import__("os").environ.get("SRLA_BENCH_DEV_BUDGET_S",
+                                             "600")))
+            if th.is_alive():
+                print("bench: tpu decode timed out (hung tunnel?); "
+                      "reporting 0.0", file=sys.stderr)
+            tpu_decode_xrt = res.get("xrt", 0.0)
+            tpu_decode_e2e_xrt = res.get("e2e", 0.0)
+            tpu_lossless = bool(res.get("lossless", False))
         except Exception as e:
             print(f"bench: tpu decode failed ({e})", file=sys.stderr)
 

@@ -104,6 +104,41 @@ def _slice_params(p: _ChannelParams, lo: int, hi: int) -> _ChannelParams:
     return _ChannelParams(*[f[lo:hi] for f in p.rows()])
 
 
+class _DaemonTask:
+    """Run fn on a DAEMON thread with a cf.Future-like ``result(timeout)``.
+
+    The hybrid scheduler's device worker can block indefinitely inside a
+    jax device op when the remote TPU link dies; jax offers no cancellation.
+    concurrent.futures threads are non-daemon and joined at interpreter
+    exit, so a hung worker would hang the whole process AFTER the encode
+    already completed via host racing. Daemon threads are simply abandoned.
+    """
+
+    def __init__(self, fn):
+        import threading
+        self._done = threading.Event()
+        self._exc = None
+
+        def run():
+            try:
+                fn()
+            except BaseException as e:  # surfaced via result()
+                self._exc = e
+            finally:
+                self._done.set()
+
+        t = threading.Thread(target=run, daemon=True,
+                             name="srla-dev-worker")
+        t.start()
+
+    def result(self, timeout=None):
+        if not self._done.wait(timeout):
+            raise TimeoutError
+        if self._exc is not None:
+            raise self._exc
+        return None
+
+
 class SRLAEncoder:
     def __init__(self, parameter: EncodeParameter, backend: str = "exact",
                  mesh=None):
@@ -868,7 +903,6 @@ class SRLAEncoder:
         across runs nor reference-byte-exact."""
         import os
         import threading
-        import concurrent.futures as cf
 
         from . import native_decoder as nd_mod
 
@@ -985,8 +1019,11 @@ class SRLAEncoder:
                                            offset_lshift)
 
         results: dict[int, bytes] = {}
-        ex = cf.ThreadPoolExecutor(1)
-        fut = ex.submit(dev_worker)
+        # DAEMON thread, not a ThreadPoolExecutor: cf's atexit hook joins
+        # its (non-daemon) workers, so a device op hung on a dead tunnel
+        # would block process EXIT even though the encode itself already
+        # returned via host racing. A daemon thread never blocks exit.
+        fut = _DaemonTask(dev_worker)
         worker = hostproc.get_worker(self.p)
         if worker is not None:
             try:
@@ -1009,7 +1046,7 @@ class SRLAEncoder:
             # first finisher wins) and return without joining the worker.
             try:
                 fut.result(timeout=0.05)
-            except cf.TimeoutError:
+            except TimeoutError:
                 with lock:
                     have = set(results) | set(dev_results)
                     missing = [i for i in dev_taken if i not in have]
@@ -1023,14 +1060,14 @@ class SRLAEncoder:
                         grace = 1.5 * est_dev + 0.1
                 try:
                     fut.result(timeout=grace)
-                except cf.TimeoutError:
+                except TimeoutError:
                     with lock:
                         have = set(results) | set(dev_results)
                         missing = [i for i in dev_taken if i not in have]
                     if missing:
                         results.update(host_encode(missing))
         finally:
-            ex.shutdown(wait=False)
+            pass  # daemon dev thread: never joined, never blocks exit
         with lock:
             got = dict(dev_results)
         for k, v in got.items():

@@ -54,17 +54,32 @@ def _host_fingerprint() -> str:
     try:
         import hashlib
         import platform
-        flags = ""
+        flags = model = ""
         try:
             with open("/proc/cpuinfo") as f:
-                for line in f:
-                    if line.startswith("flags"):
-                        flags = " ".join(sorted(line.split(":", 1)[1].split()))
+                for line in f:  # first CPU stanza only
+                    if not line.strip():
                         break
+                    key = line.split(":", 1)[0].strip()
+                    if key == "flags" and not flags:
+                        flags = " ".join(sorted(line.split(":", 1)[1].split()))
+                    elif key in ("model name", "model", "cpu family",
+                                 "stepping"):
+                        model += line.strip() + ";"
         except OSError:
             pass
+        # Include the CPU model/family/stepping and the jaxlib version, not
+        # just the feature flags: LLVM AOT tunes to the specific core (and a
+        # flag-identical host segfaulted on a foreign entry anyway), and a
+        # jaxlib bump changes the executable format.
+        try:
+            import jaxlib
+            ver = getattr(jaxlib, "__version__", "")
+        except Exception:
+            ver = ""
         h = hashlib.sha256(
-            (platform.machine() + "|" + flags).encode()).hexdigest()[:12]
+            (platform.machine() + "|" + model + "|" + flags + "|" + ver)
+            .encode()).hexdigest()[:12]
         return h
     except Exception:
         return "generic"

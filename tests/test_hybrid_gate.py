@@ -102,3 +102,49 @@ def test_gate_keeps_net_positive_device(param, monkeypatch):
     out = enc._encode_group_hybrid(pcm, spans, idxs, n, 0)
     assert out == ref
     assert len(dev_blocks) >= 128, "device starved despite zero glue cost"
+
+
+def test_hung_device_does_not_stall_encode(param, monkeypatch):
+    """A device whose first finish never returns (dead tunnel) must not
+    stall the encode: the host races the device-held blocks and the call
+    returns the full byte-exact stream. The abandoned worker runs on a
+    DAEMON thread, so it cannot block interpreter exit either
+    (encoder._DaemonTask — cf.ThreadPoolExecutor would be joined at exit)."""
+    import threading
+
+    monkeypatch.delenv("SRLA_TPU_HOST_SHARE", raising=False)
+    pcm = _pcm(20.0)
+    n = param.max_num_samples_per_block
+    spans = [(off, n) for off in range(0, pcm.shape[1] - n + 1, n)]
+    idxs = list(range(len(spans)))
+
+    enc_ref = SRLAEncoder(param, backend="exact")
+    ref = enc_ref._encode_host_batch(pcm, spans, idxs, n, 0)
+
+    enc = SRLAEncoder(param, backend="exact")
+    hang = threading.Event()  # never set: the fake device op never returns
+
+    def fake_dispatch(pcm_, spans_, chunk, size, lshift):
+        return list(chunk)
+
+    def fake_finish(chunk, pcm_, spans_, size, lshift):
+        hang.wait()  # simulates a jax fetch blocked on a dead link
+        return {}
+
+    monkeypatch.setattr(enc, "_device_dispatch", fake_dispatch)
+    monkeypatch.setattr(enc, "_device_finish", fake_finish)
+
+    done: dict = {}
+
+    def run():
+        done["out"] = enc._encode_group_hybrid(pcm, spans, idxs, n, 0)
+
+    t = threading.Thread(target=run, daemon=True)
+    t.start()
+    t.join(timeout=120.0)
+    assert not t.is_alive(), "hybrid encode stalled on a hung device"
+    assert done["out"] == ref, "racing produced a non-byte-exact stream"
+    # The stuck worker thread must be a daemon (won't block process exit).
+    stuck = [th for th in threading.enumerate()
+             if th.name == "srla-dev-worker"]
+    assert stuck and all(th.daemon for th in stuck)
