@@ -663,10 +663,14 @@ class SRLADecoder:
         if use_v2:
             from .kernels.decode2 import decode_blocks_device2
             has_ltp = bool((pp["ltp_periods"][sel] > 0).any())
-            out, _ovf = decode_blocks_device2(*args, n=n, C=C, M=M,
-                                              has_ltp=has_ltp)
+            from .kernels import sharded_cpu_cache_bypass
+            with sharded_cpu_cache_bypass(self.mesh):
+                out, _ovf = decode_blocks_device2(*args, n=n, C=C, M=M,
+                                                  has_ltp=has_ltp)
             return out
-        return decode_blocks_device(*args, n=n, C=C, M=M)
+        from .kernels import sharded_cpu_cache_bypass
+        with sharded_cpu_cache_bypass(self.mesh):
+            return decode_blocks_device(*args, n=n, C=C, M=M)
 
 
 def decode(data: bytes, check_checksum: bool = True):

@@ -1221,10 +1221,12 @@ class SRLAEncoder:
                 padded = jax.device_put(
                     padded, NamedSharding(self.mesh,
                                           PartitionSpec(axis, None, None)))
+        from .kernels import sharded_cpu_cache_bypass
         if self._approx_device:
             args = self._device_args_ex(size)
-            small, big = analyze_blocks_ex(
-                padded, np.int32(offset_lshift), C=C, **args)
+            with sharded_cpu_cache_bypass(self.mesh):
+                small, big = analyze_blocks_ex(
+                    padded, np.int32(offset_lshift), C=C, **args)
             return dict(idxs=idxs, small=small, big=big, B=B, Bp=Bp, W=W,
                         C=C)
         # Exact mode: fused analysis + selection + packing — one dispatch,
@@ -1232,12 +1234,13 @@ class SRLAEncoder:
         from .kernels.exact import encode_blocks_exact
         import os
         args = self._device_args(size)
-        small, flat = encode_blocks_exact(
-            padded, np.int32(offset_lshift), C=C, W=W,
-            impl=os.environ.get("SRLA_PACK_IMPL", self._pack_impl()),
-            ltp_order=self.p.ltp_order,
-            svr_iter=self.p.num_svr_filter_learning_iteration,
-            margins=tuple(self.preset.margin_list), **args)
+        with sharded_cpu_cache_bypass(self.mesh):
+            small, flat = encode_blocks_exact(
+                padded, np.int32(offset_lshift), C=C, W=W,
+                impl=os.environ.get("SRLA_PACK_IMPL", self._pack_impl()),
+                ltp_order=self.p.ltp_order,
+                svr_iter=self.p.num_svr_filter_learning_iteration,
+                margins=tuple(self.preset.margin_list), **args)
         return dict(idxs=idxs, small=small, flat=flat, B=B, Bp=Bp, W=W, C=C)
 
     def _encode_group_device(self, pcm: np.ndarray, spans, idxs, size: int,

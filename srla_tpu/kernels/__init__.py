@@ -86,3 +86,46 @@ def _host_fingerprint() -> str:
 
 
 enable_xla_cache()
+
+
+import contextlib as _contextlib
+
+
+@_contextlib.contextmanager
+def sharded_cpu_cache_bypass(mesh):
+    """Skip the persistent cache while compiling MESH-SHARDED programs on
+    the XLA:CPU backend.
+
+    jaxlib's CPU executable deserialization for multi-device (sharded)
+    programs aborts/segfaults when the entry is re-read inside a process
+    that has already loaded many other executables (observed twice in the
+    full suite at tests/test_parallel.py::test_fused_dispatch_actually_
+    sharded, on entries freshly written by the same jaxlib on the same
+    host; a standalone write-then-reread of the identical program passes).
+    Single-device CPU entries and ALL device (TPU) entries are unaffected
+    and stay cached. Cost: virtual-mesh tests and the multichip dryrun
+    recompile their sharded programs per process.
+    """
+    if mesh is None:
+        yield
+        return
+    try:
+        import jax
+        if jax.default_backend() != "cpu":
+            yield
+            return
+        old = jax.config.jax_compilation_cache_dir
+        if old is None:
+            yield
+            return
+        jax.config.update("jax_compilation_cache_dir", None)
+    except Exception:
+        yield
+        return
+    try:
+        yield
+    finally:
+        try:
+            jax.config.update("jax_compilation_cache_dir", old)
+        except Exception:
+            pass

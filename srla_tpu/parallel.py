@@ -34,12 +34,14 @@ def analyze_variants_sharded(mesh: Mesh, sig: np.ndarray, *, n: int, bps: int,
     over the block axis, so the only communication is the final corpus-bits
     all-reduce; outputs stay sharded until fetched.
     """
+    from .kernels import sharded_cpu_cache_bypass
     from .kernels.encode import analyze_variants
     spec = NamedSharding(mesh, P("blocks", None))
     sig = jax.device_put(sig, spec)
-    out = analyze_variants(sig, n=n, bps=bps, max_params=max_params,
-                           max_fixed=max_fixed, fft_size=fft_size,
-                           max_porder=max_porder)
+    with sharded_cpu_cache_bypass(mesh):
+        out = analyze_variants(sig, n=n, bps=bps, max_params=max_params,
+                               max_fixed=max_fixed, fft_size=fft_size,
+                               max_porder=max_porder)
     return out
 
 
@@ -62,11 +64,13 @@ def full_step_sharded(mesh: Mesh, sig: np.ndarray, *, n: int, bps: int = 16,
     """Jit the full analysis step over the mesh and run it once."""
     if fft_size is None:
         fft_size = 1 << (n - 1).bit_length()
+    from .kernels import sharded_cpu_cache_bypass
     spec = NamedSharding(mesh, P("blocks", None))
     sig = jax.device_put(np.asarray(sig, np.int32), spec)
-    out, total = _train_style_step(sig, n=n, bps=bps, max_params=max_params,
-                                   max_fixed=max_fixed, fft_size=fft_size,
-                                   max_porder=max_porder)
+    with sharded_cpu_cache_bypass(mesh):
+        out, total = _train_style_step(
+            sig, n=n, bps=bps, max_params=max_params, max_fixed=max_fixed,
+            fft_size=fft_size, max_porder=max_porder)
     jax.block_until_ready(total)
     return out, float(total)
 
