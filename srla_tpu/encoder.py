@@ -379,6 +379,16 @@ class SRLAEncoder:
         plens = self._param_lens
         slens = self._sum_lens
         B, M = int_coefs.shape
+        from . import native_decoder as _nd
+        if _nd.available():
+            fixed = (bps + 1 + (PREEMPHASIS_COEF_SHIFT + 1)
+                     + LPC_COEFFICIENT_ORDER_BITWIDTH
+                     + RSHIFT_LPC_COEFFICIENT_BITWIDTH + 1 + 1)
+            ltp_bits = (LTP_ORDER_BITWIDTH + LTP_PERIOD_BITWIDTH
+                        + ltp_order * LTP_COEFFICIENT_BITWIDTH)
+            return _nd.account_bits_batch(rice_bits, orders, int_coefs,
+                                          ltp_period, ltp_bits, plens,
+                                          slens, fixed)
         mask = np.arange(M)[None, :] < orders[:, None]
         uv = sint32_to_uint32(int_coefs)
         coef_cost = np.where(mask, plens[uv], 0).sum(axis=1)
@@ -420,6 +430,12 @@ class SRLAEncoder:
         if self.preset.lpc_order_tactics == OrderTactics.MAX_FIXED:
             return np.full(B, max_params, dtype=np.int32)
         bps = self.p.bits_per_sample
+        from . import native_decoder as _nd
+        if _nd.available():
+            # Single-pass native twin: plain libm log/sqrt IS the scalar
+            # repair chain below, so coarse+repair collapses to one loop.
+            return _nd.select_orders_batch(error_vars, n, bps, max_params,
+                                           LPC_COEFFICIENT_BITWIDTH)
         with np.errstate(invalid="ignore", divide="ignore"):
             mabse = 2.0 * np.sqrt(error_vars[:, 1:] / 2.0)
             intmean = mabse * float(1 << (bps - 1))

@@ -1475,6 +1475,93 @@ long srla_emit_blocks_batch(
     return (long)(w8 - out);
 }
 
+// Batched LPC order selection (BRUTEFORCE_ESTIMATION): the encoder's
+// geometric-entropy code-length estimate over orders 1..max_params, exact
+// libm chain (parity: encoder.py _geometric_entropy_scalar /_select_order,
+// reference srla_encoder.c SRLAEncoder_ComputeCoefficientsPerChannel order
+// scan). Plain C log/sqrt IS the scalar repair chain, so no two-phase
+// coarse+repair is needed here. error_vars: (B, max_params+1) row-major;
+// orders out (B,). Blocks where no order is valid (all NaN/negative) get
+// order 1 — matching the Python argmin-over-all-inf fallback.
+void srla_select_orders_batch(const double *error_vars, long B,
+                              int max_params, int n, int bps,
+                              int coef_bitwidth, int32_t *orders) {
+    const double INV_LOGE2 = 1.4426950408889634;
+    const double half_amp = (double)(1u << (bps - 1));
+    const double nd = (double)n;
+    for (long b = 0; b < B; b++) {
+        const double *ev = error_vars + b * (long)(max_params + 1);
+        double minlen = 3.402823466e38;
+        int best = 0;
+        for (int k = 1; k <= max_params; k++) {
+            const double e = ev[k];
+            if (!(e >= 0.0)) continue;  // NaN/negative: never selected
+            const double mab = 2.0 * sqrt(e / 2.0);
+            double ent;
+            if (mab < 1e-16) {
+                ent = 0.0;
+            } else {
+                const double intmean = mab * half_amp;
+                const double rho = 1.0 / (1.0 + intmean);
+                const double invrho = 1.0 - rho;
+                ent = -(invrho * (log(invrho) * INV_LOGE2)
+                        + rho * (log(rho) * INV_LOGE2)) / rho;
+            }
+            const double ln = ent * nd + (double)(coef_bitwidth * k);
+            if (minlen > ln) {
+                minlen = ln;
+                best = k;
+            }
+        }
+        orders[b] = best > 0 ? best : 1;
+    }
+}
+
+// Batched exact bit accounting for one channel variant (parity:
+// encoder.py _account_bits, srla_encoder.c:1121-1187). Integer-only: the
+// zigzag fold plus the two 256-entry Huffman length LUTs. ltp_bits is the
+// LTP side-info cost added when ltp_period > 0; fixed_bits is the
+// per-channel constant header cost (computed by the caller from the format
+// constants). use_sum out: 1 where the summed-parameter codebook is chosen.
+void srla_account_bits_batch(const int64_t *rice_bits, const int32_t *ords,
+                             const int32_t *coefs, long B, int M,
+                             const int32_t *ltp_period, int64_t ltp_bits,
+                             const int64_t *plens, const int64_t *slens,
+                             int64_t fixed_bits, int64_t *code_length,
+                             uint8_t *use_sum) {
+    for (long b = 0; b < B; b++) {
+        const int o = ords[b];
+        const int32_t *c = coefs + b * (long)M;
+        int64_t coef_cost = 0;
+        for (int j = 0; j < o; j++) {
+            const uint32_t u = (uint32_t)(-(int32_t)(c[j] < 0))
+                               ^ ((uint32_t)c[j] << 1);
+            coef_cost += plens[u];
+        }
+        int sum_ok = 1;
+        int64_t sum_cost = 0;
+        if (o > 0) {
+            const uint32_t u0 = (uint32_t)(-(int32_t)(c[0] < 0))
+                                ^ ((uint32_t)c[0] << 1);
+            sum_cost = plens[u0];
+            for (int j = 1; j < o; j++) {
+                const int32_t s =
+                    (int32_t)((uint32_t)c[j] + (uint32_t)c[j - 1]);
+                const uint32_t su = (uint32_t)(-(int32_t)(s < 0))
+                                    ^ ((uint32_t)s << 1);
+                if (su >= 256) { sum_ok = 0; break; }
+                sum_cost += slens[su];
+            }
+        }
+        const int us = (o > 0) && sum_ok
+                       && ((o == 1) || (sum_cost < coef_cost));
+        const int64_t coef_bits = (o > 0) ? (us ? sum_cost : coef_cost) : 0;
+        use_sum[b] = (uint8_t)us;
+        code_length[b] = rice_bits[b] + fixed_bits + coef_bits
+                         + (ltp_period[b] > 0 ? ltp_bits : 0);
+    }
+}
+
 }  // extern "C"
 
 extern "C" {

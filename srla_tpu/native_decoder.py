@@ -133,6 +133,15 @@ def _load():
         [ctypes.c_long] + [ctypes.c_int] * 4 + [ctypes.c_void_p] * 7
         + [ctypes.c_void_p] * 4 + [ctypes.c_int] + [ctypes.c_void_p] * 6
         + [ctypes.c_void_p, ctypes.c_long, ctypes.c_void_p])
+    lib.srla_select_orders_batch.restype = None
+    lib.srla_select_orders_batch.argtypes = [
+        ctypes.c_void_p, ctypes.c_long, ctypes.c_int, ctypes.c_int,
+        ctypes.c_int, ctypes.c_int, ctypes.c_void_p]
+    lib.srla_account_bits_batch.restype = None
+    lib.srla_account_bits_batch.argtypes = [
+        ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p, ctypes.c_long,
+        ctypes.c_int, ctypes.c_void_p, ctypes.c_int64, ctypes.c_void_p,
+        ctypes.c_void_p, ctypes.c_int64, ctypes.c_void_p, ctypes.c_void_p]
     return lib
 
 
@@ -604,3 +613,50 @@ def decode_block(payload: bytes, num_channels: int, bits_per_sample: int,
     if r < 0:
         raise ValueError("native decoder: malformed block payload")
     return out
+
+
+def select_orders_batch(error_vars: np.ndarray, n: int, bps: int,
+                        max_params: int, coef_bitwidth: int) -> np.ndarray:
+    """Native exact LPC order selection (encoder._select_order twin).
+
+    Plain libm log/sqrt IS the scalar tie-repair chain, so this single pass
+    equals the Python coarse-argmin-plus-repair result on every input."""
+    lib = _load()
+    ev = np.ascontiguousarray(error_vars, np.float64)
+    B = ev.shape[0]
+    assert ev.shape[1] == max_params + 1
+    orders = np.empty(B, np.int32)
+
+    def vp(a):
+        return a.ctypes.data_as(ctypes.c_void_p)
+
+    lib.srla_select_orders_batch(vp(ev), B, max_params, n, bps,
+                                 coef_bitwidth, vp(orders))
+    return orders
+
+
+def account_bits_batch(rice_bits: np.ndarray, orders: np.ndarray,
+                       int_coefs: np.ndarray, ltp_period: np.ndarray,
+                       ltp_bits: int, plens: np.ndarray, slens: np.ndarray,
+                       fixed_bits: int):
+    """Native exact per-channel bit accounting (encoder._account_bits twin).
+    Returns (code_length int64 (B,), use_sum bool (B,))."""
+    lib = _load()
+    rb = np.ascontiguousarray(rice_bits, np.int64)
+    orders = np.ascontiguousarray(orders, np.int32)
+    coefs = np.ascontiguousarray(int_coefs, np.int32)
+    lp = np.ascontiguousarray(ltp_period, np.int32)
+    pl = np.ascontiguousarray(plens, np.int64)
+    sl = np.ascontiguousarray(slens, np.int64)
+    B, M = coefs.shape
+    code_length = np.empty(B, np.int64)
+    use_sum = np.empty(B, np.uint8)
+
+    def vp(a):
+        return a.ctypes.data_as(ctypes.c_void_p)
+
+    lib.srla_account_bits_batch(vp(rb), vp(orders), vp(coefs), B, M,
+                                vp(lp), int(ltp_bits), vp(pl), vp(sl),
+                                int(fixed_bits), vp(code_length),
+                                vp(use_sum))
+    return code_length, use_sum.astype(bool)

@@ -150,3 +150,61 @@ def test_rice_k_boundary_fast_path(seed, monkeypatch):
     for v in range(res.shape[0]):
         nparts = 1 << int(po[v])
         assert (ks[v, :nparts] == ks2[v, :nparts]).all()
+
+
+def test_select_orders_native_matches_python(monkeypatch):
+    """srla_select_orders_batch == the Python coarse-argmin + scalar-libm
+    tie-repair result, including NaN/negative/zero/tied error variances
+    (the native loop IS the repair chain — plain libm log/sqrt)."""
+    from srla_tpu import native_decoder as nd
+    from srla_tpu.encoder import EncodeParameter, SRLAEncoder
+    if not nd.available():
+        import pytest
+        pytest.skip("no native toolchain")
+    rng = np.random.RandomState(11)
+    p = EncodeParameter(num_channels=1, bits_per_sample=16,
+                        sampling_rate=44100, preset=6)
+    enc = SRLAEncoder(p, backend="exact")
+    for M in (8, 32, 255):
+        B = 400
+        ev = np.abs(rng.randn(B, M + 1)) * 10.0 ** rng.randint(
+            -9, 3, (B, 1))
+        ev[rng.rand(B, M + 1) < 0.02] = np.nan
+        ev[rng.rand(B, M + 1) < 0.02] = -1.0
+        ev[rng.rand(B, M + 1) < 0.05] = 0.0
+        ev[0, :] = np.nan          # all invalid -> order 1 fallback
+        ev[1, :] = ev[1, 1]        # constant row -> exact ties
+        nat = nd.select_orders_batch(ev, 2048, 16, M, 8)
+        monkeypatch.setattr(nd, "available", lambda: False)
+        py = enc._select_order(ev.copy(), 2048, M)
+        monkeypatch.undo()
+        assert np.array_equal(nat, py), M
+
+
+def test_account_bits_native_matches_python(monkeypatch):
+    """srla_account_bits_batch == the vectorized Python accounting
+    (zigzag + Huffman length LUTs + summed-codebook validity/choice)."""
+    from srla_tpu import native_decoder as nd
+    from srla_tpu.encoder import EncodeParameter, SRLAEncoder
+    if not nd.available():
+        import pytest
+        pytest.skip("no native toolchain")
+    rng = np.random.RandomState(12)
+    p = EncodeParameter(num_channels=1, bits_per_sample=16,
+                        sampling_rate=44100, preset=4, ltp_order=3)
+    enc = SRLAEncoder(p, backend="exact")
+    for _ in range(4):
+        B, M = 500, 64
+        orders = rng.randint(0, M + 1, B).astype(np.int32)
+        coefs = rng.randint(-128, 128, (B, M)).astype(np.int32)
+        rice_bits = rng.randint(0, 1 << 20, B).astype(np.int64)
+        ltp_period = ((rng.rand(B) < 0.3).astype(np.int32)
+                      * rng.randint(32, 256, B))
+        nat_len, nat_us = enc._account_bits(rice_bits, orders, coefs,
+                                            ltp_period, 3)
+        monkeypatch.setattr(nd, "available", lambda: False)
+        py_len, py_us = enc._account_bits(rice_bits, orders, coefs,
+                                          ltp_period, 3)
+        monkeypatch.undo()
+        assert np.array_equal(nat_len, py_len)
+        assert np.array_equal(nat_us, py_us)
