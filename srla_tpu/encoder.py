@@ -356,7 +356,10 @@ class SRLAEncoder:
             int_coefs = rev
             residual = lpc_predict(work, int_coefs, orders, rshifts)
         else:
-            residual = work.copy()
+            # Order 0: the pre-emphasis (or LTP) output IS the residual.
+            # Both producers return fresh buffers, so aliasing is safe —
+            # a copy here cost ~40% of the -m 0 -V span-measurement time.
+            residual = work
 
         # 13. Exact bit accounting (vectorized over the batch).
         rice_type, rice_porder, rice_bits, rice_ks = rice.analyze_batch(

@@ -1032,10 +1032,109 @@ void srla_ltp_analyze_batch(const double *acbuf, long B, int stride,
     }
 }
 
+// One block of the Levinson-Durbin recursion, run to `k_end` recursion
+// steps (k_end == max_order reproduces the full pass). a_prev/a_cur are
+// caller scratch of max_order+2 doubles each.
+static void srla_levinson_one(const double *ac, int max_order, int k_end,
+                              int collect_order, double *ev, double *pc,
+                              double *col, double *a_prev, double *a_cur) {
+    if (col) memset(col, 0, sizeof(double) * max_order);
+    for (int i = 0; i <= max_order + 1; i++) a_prev[i] = a_cur[i] = 0.0;
+    const double r0 = ac[0];
+    a_prev[0] = 1.0;
+    ev[0] = r0;
+    a_prev[1] = -ac[1] / r0;
+    pc[0] = ac[1] / r0;
+    ev[1] = r0 + ac[1] * a_prev[1];
+    if (col && collect_order == 1) col[0] = a_prev[1];
+    for (int k = 1; k < k_end; k++) {
+        double gamma = 0.0;
+        for (int i = 0; i <= k; i++) gamma += a_prev[i] * ac[k + 1 - i];
+        gamma /= -ev[k];
+        ev[k + 1] = ev[k] * (1.0 - gamma * gamma);
+        for (int i = 0; i <= k + 1; i++)
+            a_cur[i] = a_prev[i] + gamma * a_prev[k + 1 - i];
+        if (k + 2 <= max_order + 1) a_cur[k + 2] = 0.0;  // next iter reads it
+        pc[k] = -gamma;
+        if (col && collect_order == k + 1)
+            for (int i = 0; i <= k; i++) col[i] = a_cur[1 + i];
+        double *t = a_prev; a_prev = a_cur; a_cur = t;
+    }
+}
+
+#if defined(SRLA_X86_SIMD)
+// Four-block SoA twin of the all-orders Levinson pass: lane l of every
+// __m256d carries block l's value, so each lane executes EXACTLY the
+// scalar op sequence. Only explicit _mm256_{add,sub,mul,div}_pd — never
+// FMA-contracted, preserving the reference's per-op f64 rounding
+// (libs/lpc/src/lpc.c:379-441). Negation is a sign-bit xor (the exact
+// IEEE negation the scalar `-x` performs). SoA scratch layout: recursion
+// coefficient i, lane l at buf[4*i + l].
+__attribute__((target("avx2")))
+static void srla_levinson_x4(const double *ac_rows[4], int max_order,
+                             double *ev_rows[4], double *pc_rows[4],
+                             double *soa_scratch) {
+    double *ap = soa_scratch;                        // (max_order+2) x 4
+    double *acu = ap + 4 * (max_order + 2);          // (max_order+2) x 4
+    double *acs = acu + 4 * (max_order + 2);         // (max_order+1) x 4
+    for (int i = 0; i <= max_order; i++)
+        for (int l = 0; l < 4; l++) acs[4 * i + l] = ac_rows[l][i];
+    memset(ap, 0, sizeof(double) * 8 * (max_order + 2));
+    const __m256d one = _mm256_set1_pd(1.0);
+    const __m256d sgn = _mm256_set1_pd(-0.0);
+    const __m256d zero = _mm256_setzero_pd();
+    const __m256d r0 = _mm256_loadu_pd(acs);
+    const __m256d ac1 = _mm256_loadu_pd(acs + 4);
+    _mm256_storeu_pd(ap, one);                            // a_prev[0] = 1
+    const __m256d ap1 = _mm256_div_pd(_mm256_xor_pd(ac1, sgn), r0);
+    _mm256_storeu_pd(ap + 4, ap1);
+    const __m256d pc0 = _mm256_div_pd(ac1, r0);
+    __m256d evk = _mm256_add_pd(r0, _mm256_mul_pd(ac1, ap1));  // ev[1]
+    double lane4[4];
+    for (int l = 0; l < 4; l++) ev_rows[l][0] = acs[l];
+    _mm256_storeu_pd(lane4, evk);
+    for (int l = 0; l < 4; l++) ev_rows[l][1] = lane4[l];
+    _mm256_storeu_pd(lane4, pc0);
+    for (int l = 0; l < 4; l++) pc_rows[l][0] = lane4[l];
+    for (int k = 1; k < max_order; k++) {
+        // gamma starts from scalar 0.0 + p0 (an exact no-op except for the
+        // sign of a -0.0 product, which must match the scalar chain).
+        __m256d g = _mm256_add_pd(zero,
+            _mm256_mul_pd(_mm256_loadu_pd(ap),
+                          _mm256_loadu_pd(acs + 4 * (k + 1))));
+        for (int i = 1; i <= k; i++)
+            g = _mm256_add_pd(g,
+                _mm256_mul_pd(_mm256_loadu_pd(ap + 4 * i),
+                              _mm256_loadu_pd(acs + 4 * (k + 1 - i))));
+        g = _mm256_div_pd(g, _mm256_xor_pd(evk, sgn));
+        const __m256d evn = _mm256_mul_pd(
+            evk, _mm256_sub_pd(one, _mm256_mul_pd(g, g)));
+        for (int i = 0; i <= k + 1; i++)
+            _mm256_storeu_pd(acu + 4 * i,
+                _mm256_add_pd(_mm256_loadu_pd(ap + 4 * i),
+                    _mm256_mul_pd(g, _mm256_loadu_pd(ap + 4 * (k + 1 - i)))));
+        if (k + 2 <= max_order + 1)
+            _mm256_storeu_pd(acu + 4 * (k + 2), zero);
+        _mm256_storeu_pd(lane4, _mm256_xor_pd(g, sgn));
+        for (int l = 0; l < 4; l++) pc_rows[l][k] = lane4[l];
+        _mm256_storeu_pd(lane4, evn);
+        for (int l = 0; l < 4; l++) ev_rows[l][k + 1] = lane4[l];
+        evk = evn;
+        double *t = ap; ap = acu; acu = t;
+    }
+}
+#endif
+
 // Batched Levinson-Durbin recursion (f64, identical rounding order to the
 // host path / reference; parity: libs/lpc/src/lpc.c:379-441). Emits error
 // variances at every order, PARCOR coefficients, and optionally the LPC
 // coefficient vector at a per-block selected order.
+//
+// Fast paths (bit-identical outputs, covered by the scalar-vs-SIMD parity
+// tests): (a) the all-orders pass (collect_orders == NULL) runs 4 blocks
+// per AVX2 f64 lane group; (b) the collect pass stops each block's
+// recursion at its own collect order — ev/pc beyond that order are left
+// unwritten, which the only caller (levinson_coefs_at) discards.
 void srla_levinson_batch(const double *auto_corr, long B, int max_order,
                          const int32_t *collect_orders,
                          double *error_vars, double *parcor,
@@ -1043,41 +1142,53 @@ void srla_levinson_batch(const double *auto_corr, long B, int max_order,
     const double FLT_EPS = 1.1920928955078125e-07;
     double *a_prev = new double[max_order + 2];
     double *a_cur = new double[max_order + 2];
-    for (long b = 0; b < B; b++) {
+    long b0 = 0;
+#if defined(SRLA_X86_SIMD)
+    if (!collected && srla_has_avx2_f() && B >= 4) {
+        double *soa = new double[(size_t)12 * (max_order + 2)];
+        for (; b0 + 4 <= B; b0 += 4) {
+            const double *ac_rows[4];
+            double *ev_rows[4], *pc_rows[4];
+            for (int l = 0; l < 4; l++) {
+                ac_rows[l] = auto_corr + (b0 + l) * (long)(max_order + 1);
+                ev_rows[l] = error_vars + (b0 + l) * (long)(max_order + 1);
+                pc_rows[l] = parcor + (b0 + l) * (long)max_order;
+            }
+            srla_levinson_x4(ac_rows, max_order, ev_rows, pc_rows, soa);
+        }
+        delete[] soa;
+    }
+#endif
+    for (long b = b0; b < B; b++) {
         const double *ac = auto_corr + (long)b * (max_order + 1);
         double *ev = error_vars + (long)b * (max_order + 1);
         double *pc = parcor + (long)b * max_order;
         double *col = collected ? collected + (long)b * max_order : nullptr;
-        if (col) memset(col, 0, sizeof(double) * max_order);
-        for (int i = 0; i <= max_order + 1; i++) a_prev[i] = a_cur[i] = 0.0;
-        const double r0 = ac[0];
-        a_prev[0] = 1.0;
-        ev[0] = r0;
-        a_prev[1] = -ac[1] / r0;
-        pc[0] = ac[1] / r0;
-        ev[1] = r0 + ac[1] * a_prev[1];
-        if (col && collect_orders[b] == 1) col[0] = a_prev[1];
-        for (int k = 1; k < max_order; k++) {
-            double gamma = 0.0;
-            for (int i = 0; i <= k; i++) gamma += a_prev[i] * ac[k + 1 - i];
-            gamma /= -ev[k];
-            ev[k + 1] = ev[k] * (1.0 - gamma * gamma);
-            for (int i = 0; i <= k + 1; i++)
-                a_cur[i] = a_prev[i] + gamma * a_prev[k + 1 - i];
-            if (k + 2 <= max_order + 1) a_cur[k + 2] = 0.0;  // next iter reads it
-            pc[k] = -gamma;
-            if (col && collect_orders[b] == k + 1)
-                for (int i = 0; i <= k; i++) col[i] = a_cur[1 + i];
-            double *t = a_prev; a_prev = a_cur; a_cur = t;
+        int k_end = max_order;
+        if (col) {
+            // Coefficients are captured when k+1 == collect_orders[b]; no
+            // later step can change them, so stop there (orders <= 1 need
+            // no recursion steps at all).
+            k_end = collect_orders[b];
+            if (k_end > max_order) k_end = max_order;
         }
+        srla_levinson_one(ac, max_order, k_end,
+                          col ? collect_orders[b] : -1,
+                          ev, pc, col, a_prev, a_cur);
+    }
+    // Silent special case (applies to every path above).
+    for (long b = 0; b < B; b++) {
+        const double r0 = auto_corr[(long)b * (max_order + 1)];
         if (fabs(r0) < FLT_EPS) {
+            double *ev = error_vars + (long)b * (max_order + 1);
+            double *pc = parcor + (long)b * max_order;
             for (int i = 0; i <= max_order; i++) ev[i] = r0;
             for (int i = 0; i < max_order; i++) pc[i] = 0.0;
-            if (col) memset(col, 0, sizeof(double) * max_order);
+            if (collected)
+                memset(collected + (long)b * max_order, 0,
+                       sizeof(double) * max_order);
         }
     }
-    delete[] a_prev;
-    delete[] a_cur;
 }
 
 // Batched pre-emphasis coefficient estimation (order-1 normalized

@@ -208,3 +208,52 @@ def test_account_bits_native_matches_python(monkeypatch):
         monkeypatch.undo()
         assert np.array_equal(nat_len, py_len)
         assert np.array_equal(nat_us, py_us)
+
+
+def _levinson_adversarial_batch(rng, B, order):
+    """Autocorrelation rows that exercise the recursion's failure modes:
+    silent (r0=0 -> div-by-zero NaN chain), DC, sparse, a pure tone whose
+    prediction error collapses toward 0 mid-recursion, and tiny scales."""
+    acs = []
+    for i in range(B):
+        n = 4096
+        x = rng.randn(n)
+        if i % 7 == 1:
+            x = np.zeros(n)
+        elif i % 7 == 2:
+            x = np.ones(n) * 0.5
+        elif i % 7 == 3:
+            x[::2] = 0
+        elif i % 7 == 4:
+            x = np.sin(np.arange(n) * 0.3)
+        elif i % 7 == 5:
+            x = x * 1e-4
+        ac = np.correlate(x, x, "full")[n - 1:n + order]
+        if len(ac) < order + 1:
+            ac = np.pad(ac, (0, order + 1 - len(ac)))
+        acs.append(ac)
+    return np.array(acs)
+
+
+@pytest.mark.parametrize("order", [8, 32, 255])
+@pytest.mark.parametrize("B", [1, 3, 4, 9, 64])
+def test_levinson_batch_bit_exact(order, B, monkeypatch):
+    """Native Levinson (incl. the 4-lane AVX2 all-orders path and the
+    early-stopped collect pass) == the NumPy recursion, bitwise. The AVX2
+    leg runs whenever the host supports it; CI's SRLA_FORCE_SCALAR leg
+    pins the scalar rows (parity: libs/lpc/src/lpc.c:379-441)."""
+    from srla_tpu.dsp import levinson as lv
+    rng = np.random.RandomState(order * 101 + B)
+    ac = _levinson_adversarial_batch(rng, B, order)
+    orders = rng.randint(0, order + 1, size=B).astype(np.int32)
+
+    monkeypatch.setattr(nd, "available", lambda: False)
+    ev0, pc0, _ = lv._recursion(ac, order)
+    _, _, col0 = lv._recursion(ac, order, collect_orders=orders)
+    monkeypatch.undo()
+
+    ev1, pc1, _ = nd.levinson_batch(ac, order, None)
+    _, _, col1 = nd.levinson_batch(ac, order, orders)
+    assert np.array_equal(ev0, ev1, equal_nan=True)
+    assert np.array_equal(pc0, pc1, equal_nan=True)
+    assert np.array_equal(col0, col1, equal_nan=True)
