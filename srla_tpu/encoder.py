@@ -104,6 +104,16 @@ def _slice_params(p: _ChannelParams, lo: int, hi: int) -> _ChannelParams:
     return _ChannelParams(*[f[lo:hi] for f in p.rows()])
 
 
+# Process-global tunnel-health memory, fed by hybrid encodes (blocks/s
+# EMAs). On this machine the device's usefulness is a property of the
+# LINK, not of one encode call: once a run measures the device share
+# net-negative, later encodes skip the device probes entirely (their glue
+# alone cost ~25% of a pure host-worker run) until the TTL re-opens the
+# question. A healthy measurement keeps the device in play.
+_TUNNEL_HEALTH: dict = {"dev": None, "host": None, "ts": 0.0}
+_HEALTH_TTL_S = 300.0
+
+
 class _DaemonTask:
     """Run fn on a DAEMON thread with a cf.Future-like ``result(timeout)``.
 
@@ -922,6 +932,7 @@ class SRLAEncoder:
         across runs nor reference-byte-exact."""
         import os
         import threading
+        import time as _time
 
         from . import native_decoder as nd_mod
 
@@ -934,9 +945,18 @@ class SRLAEncoder:
             return self._encode_host_batch(pcm, spans, idxs, size,
                                            offset_lshift)
 
+        # Link-health memory: when the last (fresh) measurement ended with
+        # the net-contribution gate tripped — or the device returning
+        # nothing — skip the device probes entirely this encode. Their glue
+        # alone costs ~25% of a pure host-worker run on this one-core host.
+        h = _TUNNEL_HEALTH
+        skip_device = (h["dev"] is False
+                       and _time.perf_counter() - h["ts"] < _HEALTH_TTL_S)
+
         pending = list(idxs)
         lock = threading.Lock()
         dev_taken: list[int] = []
+        gate = {"tripped": False}
 
         def take(k, from_front):
             with lock:
@@ -953,7 +973,6 @@ class SRLAEncoder:
                 return chunk
 
         dev_results: dict[int, bytes] = {}
-        import time as _time
         rates = {"host": None, "dev": None}  # blocks/sec, EMA
 
         def _ema(old, new):
@@ -990,6 +1009,7 @@ class SRLAEncoder:
                                    max(64, rem * frac * 0.5)))
                 if neg_streak >= 2:
                     want = 0
+                    gate["tripped"] = True
                 chunk = take(want, True) if rem and want else []
                 nxt = (self._device_dispatch(pcm, spans, chunk, size,
                                              offset_lshift)
@@ -1004,9 +1024,13 @@ class SRLAEncoder:
                     rates["dev"] = _ema(rates["dev"],
                                         len(st[1]) / max(now - last, 1e-3))
                     if rates["host"]:
+                        # Strictly-positive economics: on one core a chunk
+                        # must deliver MORE blocks than the host worker
+                        # would have produced with the parent CPU the glue
+                        # burned, or it is making the encode slower.
                         worth = rates["host"] * (cpu_now - cpu_last)
                         neg_streak = (neg_streak + 1
-                                      if len(st[1]) < 0.7 * worth else 0)
+                                      if len(st[1]) < 1.05 * worth else 0)
                     last = now
                     cpu_last = cpu_now
                 if nxt is None:
@@ -1042,7 +1066,7 @@ class SRLAEncoder:
         # its (non-daemon) workers, so a device op hung on a dead tunnel
         # would block process EXIT even though the encode itself already
         # returned via host racing. A daemon thread never blocks exit.
-        fut = _DaemonTask(dev_worker)
+        fut = None if skip_device else _DaemonTask(dev_worker)
         worker = hostproc.get_worker(self.p)
         if worker is not None:
             try:
@@ -1051,8 +1075,11 @@ class SRLAEncoder:
                 hostproc.mark_broken(self.p)
                 worker = None
         try:
+            # Without a device thread, bigger host chunks cut the pipe
+            # round trips (no steal granularity to preserve).
+            host_chunk = 256 if fut is None else self._HYBRID_HOST_CHUNK
             while True:
-                chunk = take(self._HYBRID_HOST_CHUNK, False)
+                chunk = take(host_chunk, False)
                 if not chunk:
                     break
                 t0 = _time.perf_counter()
@@ -1064,7 +1091,8 @@ class SRLAEncoder:
             # a self-contained valid unit, so duplicates are harmless — the
             # first finisher wins) and return without joining the worker.
             try:
-                fut.result(timeout=0.05)
+                if fut is not None:
+                    fut.result(timeout=0.05)
             except TimeoutError:
                 with lock:
                     have = set(results) | set(dev_results)
@@ -1095,6 +1123,11 @@ class SRLAEncoder:
         still = [i for i in idxs if i not in results]
         if still:
             results.update(host_encode(still))
+        if fut is not None and dev_taken:
+            # Record the link verdict for later encodes: healthy only if
+            # the device delivered blocks without tripping the gate.
+            h["dev"] = bool(got) and not gate["tripped"]
+            h["ts"] = _time.perf_counter()
         return results
 
     def _finish_block(self, pcm, spans, i, size, params, method_b, bi, C):

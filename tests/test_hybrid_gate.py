@@ -34,6 +34,17 @@ def param():
                            sampling_rate=44100, preset=2)
 
 
+@pytest.fixture(autouse=True)
+def _fresh_health():
+    """Each test judges the link on its own: clear the process-global
+    tunnel-health memory (encoder._TUNNEL_HEALTH) before and after."""
+    from srla_tpu import encoder
+    saved = dict(encoder._TUNNEL_HEALTH)
+    encoder._TUNNEL_HEALTH.update({"dev": None, "host": None, "ts": 0.0})
+    yield
+    encoder._TUNNEL_HEALTH.update(saved)
+
+
 def test_gate_stops_net_negative_device(param, monkeypatch):
     """A glue-heavy fake device gets probed, then dropped; bytes match the
     pure host path and the device never consumes more than the probes."""
@@ -148,3 +159,56 @@ def test_hung_device_does_not_stall_encode(param, monkeypatch):
     stuck = [th for th in threading.enumerate()
              if th.name == "srla-dev-worker"]
     assert stuck and all(th.daemon for th in stuck)
+
+
+def test_unhealthy_link_memory_skips_device(param, monkeypatch):
+    """After an encode ends with the gate tripped, the process-global link
+    memory (encoder._TUNNEL_HEALTH) must route the NEXT encode straight to
+    the host worker — zero device dispatches — until the TTL re-opens the
+    question. Bytes must match the pure host path in both encodes."""
+    import time as _t
+
+    from srla_tpu import encoder as enc_mod
+
+    monkeypatch.delenv("SRLA_TPU_HOST_SHARE", raising=False)
+    pcm = _pcm(20.0)
+    n = param.max_num_samples_per_block
+    spans = [(off, n) for off in range(0, pcm.shape[1] - n + 1, n)]
+    idxs = list(range(len(spans)))
+
+    enc_ref = SRLAEncoder(param, backend="exact")
+    ref = enc_ref._encode_host_batch(pcm, spans, idxs, n, 0)
+
+    enc = SRLAEncoder(param, backend="exact")
+    dispatches = []
+
+    def fake_dispatch(pcm_, spans_, chunk, size, lshift):
+        dispatches.append(list(chunk))
+        return list(chunk)
+
+    def fake_finish(chunk, pcm_, spans_, size, lshift):
+        t0 = _t.process_time()
+        x = 1.0
+        while _t.process_time() - t0 < 1.0:  # glue-heavy: net-negative
+            x = x * 1.0000001 + 1e-9
+        _t.sleep(0.2)
+        return {i: ref[i] for i in chunk}
+
+    monkeypatch.setattr(enc, "_device_dispatch", fake_dispatch)
+    monkeypatch.setattr(enc, "_device_finish", fake_finish)
+
+    out1 = enc._encode_group_hybrid(pcm, spans, idxs, n, 0)
+    assert out1 == ref
+    assert enc_mod._TUNNEL_HEALTH["dev"] is False, "gate verdict not recorded"
+    n_probes = len(dispatches)
+    assert n_probes >= 1
+
+    out2 = enc._encode_group_hybrid(pcm, spans, idxs, n, 0)
+    assert out2 == ref
+    assert len(dispatches) == n_probes, "unhealthy link was probed again"
+
+    # An expired verdict re-opens the question.
+    enc_mod._TUNNEL_HEALTH["ts"] = _t.perf_counter() - 2 * enc_mod._HEALTH_TTL_S
+    out3 = enc._encode_group_hybrid(pcm, spans, idxs, n, 0)
+    assert out3 == ref
+    assert len(dispatches) > n_probes, "expired verdict never re-probed"
