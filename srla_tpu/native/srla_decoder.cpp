@@ -109,8 +109,10 @@ uint16_t fletcher16(const uint8_t *data, long size) {
 
 #if defined(SRLA_X86_SIMD)
 static inline bool srla_has_avx2() {
+    // Defined-but-empty reads as unset (CI exports "" on non-scalar legs).
+    const char *e = getenv("SRLA_FORCE_SCALAR");
     static const bool ok = __builtin_cpu_supports("avx2")
-        && !getenv("SRLA_FORCE_SCALAR");
+        && !(e && e[0]);
     return ok;
 }
 

@@ -127,11 +127,18 @@ inline uint32_t zigzag32(int32_t v) {
 }
 
 #if defined(SRLA_X86_SIMD)
+static inline bool srla_force_scalar_env() {
+    // Defined-but-empty must read as unset: CI's matrix interpolation
+    // exports SRLA_FORCE_SCALAR="" on the native leg, and Python's
+    // SRLA_NATIVE_DISABLE gate already treats empty as unset.
+    const char *e = getenv("SRLA_FORCE_SCALAR");
+    return e && e[0];
+}
 static inline bool srla_has_avx2_f() {
     // SRLA_FORCE_SCALAR=1 pins the scalar rows on an AVX2 host — the CI
     // ISA-matrix leg (the reference re-runs its suite per SIMD build).
     static const bool ok = __builtin_cpu_supports("avx2")
-        && !getenv("SRLA_FORCE_SCALAR");
+        && !srla_force_scalar_env();
     return ok;
 }
 
@@ -420,7 +427,7 @@ void srla_window_autocorr_batch(
 #if defined(SRLA_X86_SIMD)
 static inline bool srla_has_avx2() {
     static const bool ok = __builtin_cpu_supports("avx2")
-        && !getenv("SRLA_FORCE_SCALAR");
+        && !srla_force_scalar_env();
     return ok;
 }
 

@@ -326,8 +326,12 @@ def levinson_batch(auto_corr: np.ndarray, max_order: int,
     lib = _load()
     ac = np.ascontiguousarray(auto_corr, np.float64)
     B = ac.shape[0]
-    ev = np.empty((B, max_order + 1))
-    pc = np.empty((B, max_order))
+    # The collect path early-stops each block's recursion at its collect
+    # order, leaving later ev/pc rows unwritten — zero them so the returned
+    # arrays never expose uninitialized memory to a future consumer.
+    alloc = np.zeros if collect_orders is not None else np.empty
+    ev = alloc((B, max_order + 1))
+    pc = alloc((B, max_order))
     col = np.empty((B, max_order)) if collect_orders is not None else None
     co = (np.ascontiguousarray(collect_orders, np.int32)
           if collect_orders is not None else None)
