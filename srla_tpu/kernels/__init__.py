@@ -98,13 +98,24 @@ def sharded_cpu_cache_bypass(mesh):
 
     jaxlib's CPU executable deserialization for multi-device (sharded)
     programs aborts/segfaults when the entry is re-read inside a process
-    that has already loaded many other executables (observed twice in the
-    full suite at tests/test_parallel.py::test_fused_dispatch_actually_
+    that has already loaded many other executables (observed repeatedly in
+    the full suite at tests/test_parallel.py::test_fused_dispatch_actually_
     sharded, on entries freshly written by the same jaxlib on the same
     host; a standalone write-then-reread of the identical program passes).
     Single-device CPU entries and ALL device (TPU) entries are unaffected
     and stay cached. Cost: virtual-mesh tests and the multichip dryrun
     recompile their sharded programs per process.
+
+    Nulling jax_compilation_cache_dir (the round-4 version of this bypass)
+    does NOT work: jax memoizes cache use at first compile
+    (compilation_cache.is_cache_used's _cache_checked / _get_cache's
+    one-shot _initialize_cache), so once any program has compiled with the
+    cache on, later reads ignore the dir config entirely — the r5 full
+    suite still segfaulted inside get_executable_and_time with the dir
+    nulled. The working lever is jax_enable_compilation_cache +
+    reset_cache(), which clears the memoization on BOTH edges (entry: so
+    the disable is seen; exit: so later single-device compiles re-enable
+    the on-disk cache).
     """
     if mesh is None:
         yield
@@ -114,11 +125,10 @@ def sharded_cpu_cache_bypass(mesh):
         if jax.default_backend() != "cpu":
             yield
             return
-        old = jax.config.jax_compilation_cache_dir
-        if old is None:
-            yield
-            return
-        jax.config.update("jax_compilation_cache_dir", None)
+        from jax._src import compilation_cache as _cc
+        old = jax.config.jax_enable_compilation_cache
+        jax.config.update("jax_enable_compilation_cache", False)
+        _cc.reset_cache()
     except Exception:
         yield
         return
@@ -126,6 +136,7 @@ def sharded_cpu_cache_bypass(mesh):
         yield
     finally:
         try:
-            jax.config.update("jax_compilation_cache_dir", old)
+            jax.config.update("jax_enable_compilation_cache", old)
+            _cc.reset_cache()
         except Exception:
             pass
