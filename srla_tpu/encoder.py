@@ -1263,6 +1263,12 @@ class SRLAEncoder:
         up_dtype = np.int16 if bps <= 16 else np.int32
         padded = np.zeros((Bp, C, size), up_dtype)
         padded[:B] = blocks
+        if self.mesh is None:
+            # Concurrent row-slice uploads: the device link multiplexes
+            # independent transfers (measured via tools/tunnel_probe.py), so
+            # splitting the dominant H2D PCM copy raises effective upload
+            # bandwidth; parts are rejoined with one on-device concatenate.
+            padded = _put_concurrent(padded)
         W = (size * (bps + 4)) // 32 + 64
         if self.mesh is not None:
             import jax
@@ -1273,6 +1279,10 @@ class SRLAEncoder:
                 padded = jax.device_put(
                     padded, NamedSharding(self.mesh,
                                           PartitionSpec(axis, None, None)))
+                # Shard-balance accounting (dryrun/judge): blocks per device
+                # of the GSPMD-partitioned input this group analyzes.
+                self.stats["shard_rows"] = sorted(
+                    s.data.shape[0] for s in padded.addressable_shards)
         from .kernels import sharded_cpu_cache_bypass
         if self._approx_device:
             args = self._device_args_ex(size)
@@ -2073,6 +2083,44 @@ def _gather_blocks(pcm: np.ndarray, spans, idxs, size: int) -> np.ndarray:
             return np.swapaxes(view.reshape(pcm.shape[0], len(offs), size),
                                0, 1)
     return np.stack([pcm[:, o:o + size] for o in offs]).astype(np.int32)
+
+
+def _put_concurrent(arr: np.ndarray, parts: int = 0):
+    """H2D upload of a host array as `parts` concurrent row-slice transfers,
+    rejoined with one on-device concatenate (an HBM-to-HBM copy, ~free next
+    to the link). The device link multiplexes independent transfers
+    (tools/tunnel_probe.py), so splitting the dominant PCM upload raises
+    effective H2D bandwidth the same way _fetch_concurrent does for D2H.
+    SRLA_PUT_PARTS overrides; parts<=1, small arrays, and the CPU backend
+    upload whole (returned as-is: jit's implicit transfer handles it)."""
+    import os
+
+    env = os.environ.get("SRLA_PUT_PARTS", "")
+    if env:
+        try:
+            parts = int(env)
+        except ValueError:
+            pass
+    if parts <= 0:
+        parts = 4
+    rows = arr.shape[0]
+    if parts <= 1 or arr.nbytes < (2 << 20) or rows < parts:
+        return arr
+    try:
+        import jax
+        if jax.default_backend() == "cpu":
+            return arr
+    except Exception:
+        return arr
+    import concurrent.futures as cf
+
+    import jax.numpy as jnp
+    step = -(-rows // parts)
+    chunks = [arr[k * step:(k + 1) * step]
+              for k in range(parts) if k * step < rows]
+    with cf.ThreadPoolExecutor(len(chunks)) as ex:
+        outs = list(ex.map(jax.device_put, chunks))
+    return jnp.concatenate(outs, axis=0)
 
 
 def _apply_lshift(blocks: np.ndarray, offset_lshift) -> np.ndarray:
