@@ -68,6 +68,14 @@ def aggregate(per_file_rows: list[dict]) -> list[dict]:
                 vals = [float(r[col]) for r in rows if r.get(col, "") != ""]
                 if vals:
                     agg[col] = round(sum(vals) / len(vals), 3)
+                    # Per-file spread for the headline metrics: codec
+                    # behavior is content-dependent (a mean can hide a
+                    # per-file flip — NOTES r3's -V story), so the
+                    # aggregate names its own variance.
+                    if col in ("encode_pct_rt", "decode_pct_rt",
+                               "compression_pct") and len(vals) > 1:
+                        agg[col + "_min"] = round(min(vals), 3)
+                        agg[col + "_max"] = round(max(vals), 3)
             out.append(agg)
     return out
 

@@ -37,7 +37,8 @@ REF_BIN = os.path.join(os.path.dirname(os.path.dirname(
     os.path.abspath(__file__))), ".refbuild", "tool", "srla")
 
 
-def synthetic_corpus(tmpdir: str, seconds: float = 20.0) -> list:
+def synthetic_corpus(tmpdir: str, seconds: float = 20.0,
+                     extended: bool = False) -> list:
     """Deterministic synthetic corpus mirroring the reference evaluation's
     five RWC categories (classic/jazz/popular/vocal/rhythm — see
     /root/reference/evaluation/evaluate_codecs.py), two takes each.
@@ -46,7 +47,13 @@ def synthetic_corpus(tmpdir: str, seconds: float = 20.0) -> list:
     behavior: harmonic stacks with vibrato (LPC-friendly), note transients
     (block-boundary stress), sung-vowel formants with pitch drift (LTP),
     percussive noise bursts (raw/Rice-k stress), silence and quiet passages
-    (silent/allzero blocks), and inter-channel correlation (MS/LS/SR)."""
+    (silent/allzero blocks), and inter-channel correlation (MS/LS/SR).
+
+    `extended` adds adversarial content the musical categories don't cover
+    (codec behavior is content-dependent — NOTES r3 records a -V win
+    flipping to a loss between corpora): transient-dense material,
+    near-silence with true-zero gaps, hard-clipped program, 24-bit depth,
+    and a >2-channel file."""
     rate = 44100
     n = int(seconds * rate)
     t = np.arange(n) / rate
@@ -131,6 +138,43 @@ def synthetic_corpus(tmpdir: str, seconds: float = 20.0) -> list:
         sig[n // 2:n // 2 + rate // 2] = 0  # hard silence gap
         return stereo(sig * 0.6, 0.4, rng)
 
+    def transient(seed):
+        # Transient-dense: randomized click/snap onsets every few ms defeat
+        # long predictors and stress partition search + block boundaries.
+        rng = np.random.RandomState(seed)
+        sig = np.zeros(n)
+        pos = 0
+        while pos < n - 600:
+            ln = rng.randint(40, 600)
+            burst = rng.randn(ln) * np.exp(-np.arange(ln) / rng.randint(8, 80))
+            sig[pos:pos + ln] += burst * rng.uniform(0.2, 0.95)
+            pos += ln + rng.randint(20, 400)
+        return stereo(np.clip(sig, -1, 1) * 0.8, 0.35, rng)
+
+    def quiet(seed):
+        # Near-silence with true-zero gaps: exercises SILENT blocks, tiny
+        # Rice parameters, and the order-0/low-order decision edges.
+        rng = np.random.RandomState(seed)
+        sig = rng.randn(n) * 1.2e-4                       # ~-78 dBFS floor
+        for _ in range(int(seconds)):
+            i0 = rng.randint(0, n - rate // 2)
+            sig[i0:i0 + rng.randint(rate // 8, rate // 2)] = 0.0  # hard zero
+        for _ in range(int(seconds / 4)):
+            i0 = rng.randint(0, n - 4000)
+            tt = np.arange(4000)
+            sig[i0:i0 + 4000] += (np.sin(2 * np.pi * rng.uniform(200, 2000)
+                                         * tt / rate)
+                                  * np.exp(-tt / 800) * 3e-3)
+        return stereo(sig, 0.5, rng, amp=32000)
+
+    def clipped(seed):
+        # Hard-clipped loud program: long flat-topped runs at full scale
+        # produce pathological residual statistics (max Rice k, raw blocks).
+        rng = np.random.RandomState(seed)
+        mix = (harmonics(np.full(n, 98.0), [.7, .4, .3, .2])
+               + rng.randn(n) * 0.1) * 2.5
+        return stereo(np.clip(mix, -0.999, 0.999), 0.1, rng, amp=32767)
+
     for name, fn in [("classic", classic), ("jazz", jazz),
                      ("popular", popular), ("vocal", vocal),
                      ("rhythm", rhythm)]:
@@ -139,6 +183,29 @@ def synthetic_corpus(tmpdir: str, seconds: float = 20.0) -> list:
             path = os.path.join(tmpdir, f"{name}_{take}.wav")
             write_wav(path, WavData(pcm, rate, 16))
             files.append(path)
+    if extended:
+        for name, fn in [("transient", transient), ("quiet", quiet),
+                         ("clipped", clipped)]:
+            pcm = fn(seed=100 + sum(name.encode()) % 97)
+            path = os.path.join(tmpdir, f"{name}_1.wav")
+            write_wav(path, WavData(pcm, rate, 16))
+            files.append(path)
+        # 24-bit: vocal content rescaled to full 24-bit range.
+        rng = np.random.RandomState(11)
+        pcm16 = vocal(seed=211)
+        pcm24 = np.clip(pcm16.astype(np.int64) * 256
+                        + rng.randint(-127, 128, pcm16.shape),
+                        -(1 << 23), (1 << 23) - 1).astype(np.int32)
+        path = os.path.join(tmpdir, "deep24_1.wav")
+        write_wav(path, WavData(pcm24, rate, 24))
+        files.append(path)
+        # 4-channel: two decorrelated stereo pairs (surround-style bed).
+        a = classic(seed=311)
+        b = rhythm(seed=313)
+        pcm4 = np.concatenate([a, b], axis=0)
+        path = os.path.join(tmpdir, "multi4_1.wav")
+        write_wav(path, WavData(pcm4, rate, 16))
+        files.append(path)
     return files
 
 

@@ -22,11 +22,18 @@ HERE = os.path.dirname(os.path.abspath(__file__))
 
 def main():
     with tempfile.TemporaryDirectory() as d:
-        files = synthetic_corpus(d, 120.0)
+        files = synthetic_corpus(d, 120.0, extended=True)
         by_name = {os.path.basename(f): f for f in files}
         for outdir, names in (
                 ("corpus120", ["classic_1.wav", "vocal_1.wav",
                                "rhythm_1.wav"]),
+                # Adversarial companion corpus (evaluate with
+                # --corpus evaluation/corpus120x): content the musical
+                # categories don't cover — transient-dense, near-silent,
+                # hard-clipped, 24-bit, 4-channel.
+                ("corpus120x", ["transient_1.wav", "quiet_1.wav",
+                                "clipped_1.wav", "deep24_1.wav",
+                                "multi4_1.wav"]),
                 ("corpus120b", ["classic_1.wav", "vocal_1.wav"])):
             out = os.path.join(HERE, outdir)
             os.makedirs(out, exist_ok=True)
