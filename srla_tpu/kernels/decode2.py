@@ -476,6 +476,20 @@ def decode_blocks_paged(pages, meta, lshift, *, n: int, C: int, M: int,
 _MAX_LTP_C = 3                      # MAX_LTP_ORDER (srla_internal.h:27-35)
 
 
+def _use_pallas_lpc() -> bool:
+    """SRLA_LPC_IMPL=pallas routes the synthesis recurrence through the
+    Pallas kernel (kernels/pallas_lpc.py) on the TPU backend. Default is
+    the XLA scan until the hardware A/B (tools/pallas_lpc_ab.py) shows a
+    steady win on the deployed jaxlib/Mosaic stack."""
+    import os
+    if os.environ.get("SRLA_LPC_IMPL", "") != "pallas":
+        return False
+    try:
+        return jax.default_backend() == "tpu"
+    except Exception:
+        return False
+
+
 def _synthesize(res, orders, rshifts, coefs, ltp_orders, ltp_periods,
                 ltp_coefs, pre_coef, pre_prev, methods, lshift, *, n, C, M,
                 has_ltp):
@@ -489,14 +503,17 @@ def _synthesize(res, orders, rshifts, coefs, ltp_orders, ltp_periods,
     aligned = _align_coefs(coefs.reshape(R, -1)[:, :M], ordR, M)
     dcoef = pre_coef.reshape(R)
     dprev = pre_prev.reshape(R).astype(jnp.int32)
+    lpc_scan = _lpc_scan
+    if _use_pallas_lpc():
+        from .pallas_lpc import lpc_scan_pallas as lpc_scan
     if has_ltp:
-        v = _lpc_scan(resR, aligned, ordR, rshR, n, M)
+        v = lpc_scan(resR, aligned, ordR, rshR, n, M)
         y = _ltp_pass(v, ltp_orders.reshape(R), ltp_periods.reshape(R),
                       ltp_coefs.reshape(R, -1), n)
         y = _deemph_scan(y, dcoef, dprev)
     else:
-        y = _lpc_scan(resR, aligned, ordR, rshR, n, M, dcoef=dcoef,
-                      dprev=dprev)
+        y = lpc_scan(resR, aligned, ordR, rshR, n, M, dcoef=dcoef,
+                     dprev=dprev)
     out = y.reshape(B, C, n)
 
     if C >= 2:
