@@ -118,6 +118,14 @@ def probe(name: str, kernel, expected_ok: bool) -> bool:
               f"{str(e).splitlines()[0][:160]}")
         return not expected_ok
     if np.array_equal(ref, dev):
+        if not expected_ok:
+            # The canary: this formulation is KNOWN-BROKEN on the stack the
+            # repro was committed against. It passing means a jaxlib/Mosaic
+            # bump fixed the packing path — unpark kernels/pallas_pack.py's
+            # fast formulations and re-run the bench A/B.
+            print(f"{name}: FIXED UPSTREAM (was known-broken) — unpark "
+                  "pallas_pack.py fast formulations")
+            return False
         print(f"{name}: PASS (device == interpreter)")
         return True
     bad = np.flatnonzero(ref[0] != dev[0])[:8]
