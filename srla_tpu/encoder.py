@@ -2148,7 +2148,7 @@ def encode_files(pcm_list, bits_per_sample: int, sampling_rate: int,
                  preset: int = 4, max_block: int = 4096,
                  variable_divisions: int = 0, lookahead_factor: int = 4,
                  ltp_order: int = 0, svr_iterations: int = 0,
-                 backend: str = "tpu", mesh=None) -> list:
+                 backend: str = "tpu", mesh=None, stats_out=None) -> list:
     """Batched multi-file encode (corpus throughput runs).
 
     Fixed-block encodes of files sharing (channels, offset_lshift) are
@@ -2204,6 +2204,8 @@ def encode_files(pcm_list, bits_per_sample: int, sampling_rate: int,
                 off += n_i
             framed = enc._encode_spans(cat, spans, lshift)
             enc._check_repair_rate()
+            if stats_out is not None and "shard_rows" in enc.stats:
+                stats_out["shard_rows"] = enc.stats["shard_rows"]
             for i, lo, hi in ranges:
                 header = StreamHeader(C, pcms[i].shape[1], sampling_rate,
                                       bits_per_sample, lshift, max_block,

@@ -77,7 +77,7 @@ def full_step_sharded(mesh: Mesh, sig: np.ndarray, *, n: int, bps: int = 16,
 
 def encode_corpus_sharded(mesh: Mesh, pcm_list, bits_per_sample: int,
                           sampling_rate: int, preset: int = 4,
-                          max_block: int = 4096):
+                          max_block: int = 4096, stats_out=None):
     """Encode a corpus of files with ONE GLOBAL block axis sharded over the
     mesh: files sharing (channels, offset_lshift) are cross-file batched
     (encoder.encode_files), and every device dispatch uploads its block
@@ -93,10 +93,11 @@ def encode_corpus_sharded(mesh: Mesh, pcm_list, bits_per_sample: int,
 
     return encode_files(pcm_list, bits_per_sample, sampling_rate,
                         preset=preset, max_block=max_block, backend="tpu",
-                        mesh=mesh)
+                        mesh=mesh, stats_out=stats_out)
 
 
-def decode_corpus_sharded(mesh: Mesh, streams, check_checksum: bool = True):
+def decode_corpus_sharded(mesh: Mesh, streams, check_checksum: bool = True,
+                          stats_out=None):
     """Decode a corpus of .srl streams with ONE GLOBAL block axis sharded
     over the mesh.
 
@@ -135,6 +136,8 @@ def decode_corpus_sharded(mesh: Mesh, streams, check_checksum: bool = True):
             C, total, rate, bps, lshift, max_block, preset)) + b"".join(
             streams[i][HEADER_SIZE:] for i in idxs)
         _, pcm = dec.decode_whole(virtual)
+        if stats_out is not None and "shard_rows" in dec.stats:
+            stats_out["shard_rows"] = dec.stats["shard_rows"]
         off = 0
         for i in idxs:
             n_i = headers[i].num_samples
