@@ -2088,11 +2088,13 @@ def _gather_blocks(pcm: np.ndarray, spans, idxs, size: int) -> np.ndarray:
 def _put_concurrent(arr: np.ndarray, parts: int = 0):
     """H2D upload of a host array as `parts` concurrent row-slice transfers,
     rejoined with one on-device concatenate (an HBM-to-HBM copy, ~free next
-    to the link). The device link multiplexes independent transfers
-    (tools/tunnel_probe.py), so splitting the dominant PCM upload raises
-    effective H2D bandwidth the same way _fetch_concurrent does for D2H.
-    SRLA_PUT_PARTS overrides; parts<=1, small arrays, and the CPU backend
-    upload whole (returned as-is: jit's implicit transfer handles it)."""
+    to the link). Default is 1 (whole-array upload): re-probing with forced
+    materialization (tools/tunnel_probe.py — block_until_ready does not
+    actually wait through this link) shows H2D does NOT multiplex; 21 MB
+    measured 34.3 MB/s at 1 part, degrading monotonically to 14.3 MB/s at
+    32 parts. SRLA_PUT_PARTS overrides for future link stacks; parts<=1,
+    small arrays, and the CPU backend upload whole (returned as-is: jit's
+    implicit transfer handles it)."""
     import os
 
     env = os.environ.get("SRLA_PUT_PARTS", "")
@@ -2102,7 +2104,7 @@ def _put_concurrent(arr: np.ndarray, parts: int = 0):
         except ValueError:
             pass
     if parts <= 0:
-        parts = 4
+        parts = 1
     rows = arr.shape[0]
     if parts <= 1 or arr.nbytes < (2 << 20) or rows < parts:
         return arr

@@ -21,11 +21,10 @@ import numpy as np
 
 
 def _d2h(arr, parts: int) -> float:
+    # Always fetch via fresh slice objects: np.asarray(arr) caches the host
+    # copy on the jax Array, so a repeated whole-array fetch times ~0.
     rows = arr.shape[0]
-    if parts <= 1:
-        t0 = time.perf_counter()
-        np.asarray(arr)
-        return time.perf_counter() - t0
+    parts = max(1, parts)
     step = -(-rows // parts)
     chunks = [arr[k * step:(k + 1) * step]
               for k in range(parts) if k * step < rows]
@@ -36,11 +35,19 @@ def _d2h(arr, parts: int) -> float:
 
 
 def _h2d(host: np.ndarray, parts: int) -> float:
+    # block_until_ready does NOT wait through the tunnel (NOTES.md); force
+    # materialization by consuming every chunk in a jitted reduction and
+    # fetching the scalar result.
     import jax
+    import jax.numpy as jnp
+
+    def _consume(o) -> float:
+        return float(jnp.sum(o.astype(jnp.int32)))
+
     rows = host.shape[0]
     if parts <= 1:
         t0 = time.perf_counter()
-        jax.device_put(host).block_until_ready()
+        _consume(jax.device_put(host))
         return time.perf_counter() - t0
     step = -(-rows // parts)
     chunks = [host[k * step:(k + 1) * step]
@@ -49,7 +56,7 @@ def _h2d(host: np.ndarray, parts: int) -> float:
     with cf.ThreadPoolExecutor(len(chunks)) as ex:
         outs = list(ex.map(jax.device_put, chunks))
     for o in outs:
-        o.block_until_ready()
+        _consume(o)
     return time.perf_counter() - t0
 
 
