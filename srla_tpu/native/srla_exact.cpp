@@ -512,69 +512,6 @@ static int64_t rice_part_sum(const uint32_t *up, int nsmpl, int k,
     return rb;
 }
 
-#if defined(SRLA_X86_SIMD)
-// Per-element code-length contribution with PER-ELEMENT k (variable-shift
-// lanes). Recursive form: d = (int32)(u - 2^(k+1)); d > 0 ? d >> k : 0 —
-// int32-wrap subtract and positive-d logical shift match the scalar
-// semantics exactly (d > 0 makes >> sign-agnostic; k=31 makes 2<<k
-// truncate to 0 in a lane exactly like the scalar (uint32)(1<<32)).
-__attribute__((target("avx2")))
-static void rice_q_elem_avx2(const uint32_t *u, const int32_t *k_elem,
-                             int n, bool recursive, uint32_t *q_out) {
-    const __m256i two = _mm256_set1_epi32(2);
-    const __m256i zero = _mm256_setzero_si256();
-    int i = 0;
-    if (recursive) {
-        for (; i + 8 <= n; i += 8) {
-            __m256i v = _mm256_loadu_si256((const __m256i *)(u + i));
-            __m256i kv = _mm256_loadu_si256((const __m256i *)(k_elem + i));
-            __m256i t = _mm256_sllv_epi32(two, kv);
-            __m256i d = _mm256_sub_epi32(v, t);
-            __m256i pos = _mm256_cmpgt_epi32(d, zero);
-            _mm256_storeu_si256(
-                (__m256i *)(q_out + i),
-                _mm256_and_si256(pos, _mm256_srlv_epi32(d, kv)));
-        }
-    } else {
-        for (; i + 8 <= n; i += 8) {
-            __m256i v = _mm256_loadu_si256((const __m256i *)(u + i));
-            __m256i kv = _mm256_loadu_si256((const __m256i *)(k_elem + i));
-            _mm256_storeu_si256((__m256i *)(q_out + i),
-                                _mm256_srlv_epi32(v, kv));
-        }
-    }
-    for (; i < n; i++) {
-        const int k = k_elem[i];
-        if (recursive) {
-            int32_t d = (int32_t)(u[i] - (uint32_t)((int64_t)1 << (k + 1)));
-            q_out[i] = d > 0 ? (uint32_t)(d >> k) : 0;
-        } else {
-            q_out[i] = u[i] >> k;
-        }
-    }
-}
-#endif
-
-// Per-element fallback of the above (exact scalar element function).
-static void rice_q_elem(const uint32_t *u, const int32_t *k_elem, int n,
-                        bool recursive, uint32_t *q_out) {
-#if defined(SRLA_X86_SIMD)
-    if (srla_has_avx2()) {
-        rice_q_elem_avx2(u, k_elem, n, recursive, q_out);
-        return;
-    }
-#endif
-    for (int i = 0; i < n; i++) {
-        const int k = k_elem[i];
-        if (recursive) {
-            int32_t d = (int32_t)(u[i] - (uint32_t)((int64_t)1 << (k + 1)));
-            q_out[i] = d > 0 ? (uint32_t)(d >> k) : 0;
-        } else {
-            q_out[i] = u[i] >> k;
-        }
-    }
-}
-
 // Plain-Rice parameter via the reference's transcendental chain
 // (srla_coder.c:262-287): k = max(0, round(log2(ln OPTX / ln(1-1/(1+m))))).
 // Kept verbatim as the exact fallback of the boundary fast path below.
@@ -646,15 +583,18 @@ static inline int32_t plain_rice_k(double mean) {
 // residuals: (V, n) int32. Outputs per variant: code_type, best_porder,
 // min_bits, ks (V, 1024) int16.
 //
-// The partition pyramid is evaluated bottom-up: fine levels (short
-// partitions, where per-partition means are noisy and k changes often) use
-// ONE variable-shift pass per level; coarse levels merge — a parent whose
-// Rice parameter k equals both children's simply ADDS their sums (the
-// summand is an element-wise function of (u, k), so equal-k sums merge
-// exactly) and only partitions whose k differs from a child's are
-// rescanned. Coarse-level means are stable, so merging almost always
-// applies; the search touches each sample a few times instead of once per
-// level with scalar branches.
+// Levels are evaluated coarse-to-fine in the reference's porder order with
+// its running early exit (a partition loop breaks as soon as the running
+// bits reach the best level so far), plus a sum-based prune the reference
+// doesn't have: each partition's quotient sum is bounded below from the
+// EXACT partition sum (sum(u >> k) >= (S - nsmpl*(2^k-1)) >> k, and the
+// recursive-Rice analogue with offset 3*2^k-1), so a level whose bound
+// already exceeds the running best is skipped in O(nparts) without
+// touching the samples. Bounds only ever skip levels that cannot win, so
+// the selected (code_type, porder, ks, bits) are identical to the
+// reference's exhaustive scan. The prune is disabled for blocks containing
+// values >= 2^31, where the reference's int32-wrapping recursive quotient
+// can undershoot the no-wrap bound.
 void srla_rice_search_batch(
     const int32_t *residuals, long V, int n, int max_porder,
     int32_t *code_type_out, int32_t *porder_out, int64_t *bits_out,
@@ -663,9 +603,7 @@ void srla_rice_search_batch(
     uint32_t *u = new uint32_t[n];
     double *mean_lvls = new double[(max_porder + 1) * MAXP];
     int32_t *k_pyr = new int32_t[(max_porder + 1) * MAXP];
-    int64_t *rb_pyr = new int64_t[(max_porder + 1) * MAXP];
-    int32_t *k_elem = new int32_t[n];
-    uint32_t *q_elem = new uint32_t[n];
+    int64_t *sum_pyr = new int64_t[(max_porder + 1) * MAXP];
     for (long v = 0; v < V; v++) {
         const int32_t *res = residuals + (long)v * n;
         uint32_t max_uval = 0;
@@ -677,16 +615,22 @@ void srla_rice_search_batch(
         const int nleaf = MAXP;
         const int leafn = n / nleaf;
         double *lv = mean_lvls + max_porder * MAXP;
+        int64_t *ls = sum_pyr + max_porder * MAXP;
         for (int p = 0; p < nleaf; p++) {
             int64_t s = 0;
             for (int i = 0; i < leafn; i++) s += u[p * leafn + i];
             lv[p] = (double)s / leafn;
+            ls[p] = s;
         }
         for (int lvl = max_porder - 1; lvl >= 0; lvl--) {
             double *cur = mean_lvls + lvl * MAXP;
             double *fine = mean_lvls + (lvl + 1) * MAXP;
-            for (int p = 0; p < (1 << lvl); p++)
+            int64_t *cs = sum_pyr + lvl * MAXP;
+            const int64_t *fs = sum_pyr + (lvl + 1) * MAXP;
+            for (int p = 0; p < (1 << lvl); p++) {
                 cur[p] = (fine[2 * p] + fine[2 * p + 1]) / 2.0;
+                cs[p] = fs[2 * p] + fs[2 * p + 1];
+            }
         }
         if (max_uval == 0) {
             code_type_out[v] = 2;
@@ -713,67 +657,58 @@ void srla_rice_search_batch(
                     kk[p] = plain_rice_k(m[p]);
             }
         }
-        // 2) Per-level sums, fine-to-coarse. Fine levels (nsmpl < 16): one
-        //    variable-shift pass + per-partition accumulate. Coarse
-        //    levels: merge equal-k children, rescan the rare rest.
-        for (int lvl = max_porder; lvl >= 0; lvl--) {
-            const int nparts = 1 << lvl;
-            const int nsmpl = n >> lvl;
-            const int32_t *kk = k_pyr + lvl * MAXP;
-            int64_t *rb = rb_pyr + lvl * MAXP;
-            if (nsmpl < 16) {
-                for (int p = 0; p < nparts; p++)
-                    for (int j = 0; j < nsmpl; j++)
-                        k_elem[p * nsmpl + j] = kk[p];
-                rice_q_elem(u, k_elem, n, recursive, q_elem);
-                const uint32_t *q = q_elem;
-                for (int p = 0; p < nparts; p++) {
-                    int64_t s = 0;
-                    for (int j = 0; j < nsmpl; j++) s += *q++;
-                    rb[p] = s;
-                }
-            } else if (lvl == max_porder) {
-                for (int p = 0; p < nparts; p++)
-                    rb[p] = rice_part_sum(u + (long)p * nsmpl, nsmpl,
-                                          kk[p], recursive);
-            } else {
-                const int32_t *kc = k_pyr + (lvl + 1) * MAXP;
-                const int64_t *rc = rb_pyr + (lvl + 1) * MAXP;
-                for (int p = 0; p < nparts; p++) {
-                    const int32_t k = kk[p];
-                    if (k == kc[2 * p] && k == kc[2 * p + 1])
-                        rb[p] = rc[2 * p] + rc[2 * p + 1];
-                    else
-                        rb[p] = rice_part_sum(u + (long)p * nsmpl, nsmpl,
-                                              k, recursive);
-                }
-            }
-        }
-        // 4) Total bits per level, best-level tracking.
+        // 2) Coarse-to-fine level scoring with the sum bound and the
+        //    reference's running early exit. Quotient sums are computed
+        //    on demand only for levels the bound cannot dismiss.
         const int khdr = recursive ? 2 : 1;
+        const bool bound_ok = !recursive || max_uval < 0x80000000u;
         int64_t best_bits = INT64_MAX;
         int best_porder = 0;
-        int16_t *ks_row = ks_out + (long)v * 1024;
         for (int porder = 0; porder <= max_porder; porder++) {
             const int nparts = 1 << porder;
             const int nsmpl = n >> porder;
             const int32_t *kk = k_pyr + porder * MAXP;
-            const int64_t *rb = rb_pyr + porder * MAXP;
+            const int64_t *ss = sum_pyr + porder * MAXP;
+            if (best_bits != INT64_MAX) {
+                int64_t lb = 10 + 5;
+                int32_t prevk = 0;
+                for (int part = 0; part < nparts && lb < best_bits; part++) {
+                    const int32_t k = kk[part];
+                    lb += (int64_t)(k + khdr) * nsmpl;
+                    if (bound_ok) {
+                        const int64_t off = recursive ? (3LL << k) - 1
+                                                      : (1LL << k) - 1;
+                        const int64_t num = ss[part] - (int64_t)nsmpl * off;
+                        if (num > 0) lb += num >> k;
+                    }
+                    if (part != 0) lb += zigzag32(k - prevk) + 1;
+                    prevk = k;
+                }
+                if (lb >= best_bits) continue;
+            }
             int64_t bits = 10 + 5;
             int32_t prevk = 0;
-            for (int part = 0; part < nparts; part++) {
+            int part = 0;
+            for (; part < nparts; part++) {
                 const int32_t k = kk[part];
-                bits += (int64_t)(k + khdr) * nsmpl + rb[part];
+                bits += (int64_t)(k + khdr) * nsmpl
+                        + rice_part_sum(u + (long)part * nsmpl, nsmpl, k,
+                                        recursive);
                 if (part != 0) bits += zigzag32(k - prevk) + 1;
                 prevk = k;
+                if (bits >= best_bits) break;
             }
-            if (bits < best_bits) {
+            if (part == nparts && bits < best_bits) {
                 best_bits = bits;
                 best_porder = porder;
-                for (int p = 0; p < nparts; p++)
-                    ks_row[p] = (int16_t)kk[p];
-                for (int p = nparts; p < 1024; p++) ks_row[p] = 0;
             }
+        }
+        int16_t *ks_row = ks_out + (long)v * 1024;
+        {
+            const int nparts = 1 << best_porder;
+            const int32_t *kk = k_pyr + best_porder * MAXP;
+            for (int p = 0; p < nparts; p++) ks_row[p] = (int16_t)kk[p];
+            for (int p = nparts; p < 1024; p++) ks_row[p] = 0;
         }
         code_type_out[v] = recursive ? 1 : 0;
         porder_out[v] = best_porder;
@@ -782,9 +717,7 @@ void srla_rice_search_batch(
     delete[] u;
     delete[] mean_lvls;
     delete[] k_pyr;
-    delete[] rb_pyr;
-    delete[] k_elem;
-    delete[] q_elem;
+    delete[] sum_pyr;
 }
 
 #if defined(SRLA_X86_SIMD)

@@ -48,15 +48,29 @@ def main() -> int:
                 jnp.asarray(rshifts))
         kw = dict(dcoef=jnp.asarray(dcoef), dprev=jnp.asarray(dprev))
 
+        # block_until_ready does not wait through the device link (NOTES);
+        # time K data-dependent chained calls and one tiny forced fetch,
+        # then subtract the measured fetch round-trip and divide by K.
+        K = 8
+        rts = []
+        for _ in range(3):
+            t0 = time.perf_counter()
+            np.asarray(jnp.zeros((1, 8), jnp.int32) + 1)
+            rts.append(time.perf_counter() - t0)
+        rt = min(rts)
+
         def run(fn):
             out = fn(*args, n, M, **kw)          # compile + correctness
             host = np.asarray(out)
             ts = []
             for _ in range(reps):
                 t0 = time.perf_counter()
-                fn(*args, n, M, **kw).block_until_ready()
+                o = args[0]
+                for _k in range(K):
+                    o = fn(o, *args[1:], n, M, **kw)
+                np.asarray(o[:1, :8])            # forced materialization
                 ts.append(time.perf_counter() - t0)
-            return host, min(ts)
+            return host, max(min(ts) - rt, 1e-9) / K
 
         try:
             want, t_xla = run(lambda *a, **k: _lpc_scan(*a, **k))
