@@ -106,6 +106,32 @@ def test_rice_search_batch_bit_exact(scale, n, monkeypatch):
 
 
 @pytest.mark.parametrize("seed", [0, 1])
+def test_rice_search_wrap_heavy_bit_exact(seed, monkeypatch):
+    """Blocks holding zigzag values >= 2^31 disable the sum lower-bound
+    prune (srla_exact.cpp srla_rice_search_batch): the reference's
+    int32-wrapping recursive quotient can undershoot the no-wrap bound
+    there, so pruning could otherwise change the selected porder. Pin
+    native == numpy oracle on wrap-heavy content (int32 extremes mixed
+    into ordinary residuals)."""
+    rng = np.random.RandomState(seed)
+    V, n = 6, 4096
+    res = (rng.randn(V, n) * 300).astype(np.int32)
+    idx = rng.choice(n, 64, replace=False)
+    res[:, idx[:16]] = np.int32(-(2 ** 31))
+    res[:, idx[16:32]] = np.int32(2 ** 31 - 1)
+    res[:, idx[32:]] = rng.randint(2 ** 30, 2 ** 31 - 1, 32,
+                                   dtype=np.int64).astype(np.int32)
+    ct, po, bits, ks = analyze_batch(res, n)  # native path
+    monkeypatch.setattr(nd, "available", lambda: False)
+    ct2, po2, bits2, ks2 = analyze_batch(res, n)  # numpy oracle
+    assert (ct == ct2).all() and (po == po2).all()
+    assert (bits == bits2).all()
+    for v in range(V):
+        nparts = 1 << int(po[v])
+        assert (ks[v, :nparts] == ks2[v, :nparts]).all()
+
+
+@pytest.mark.parametrize("seed", [0, 1])
 def test_rice_k_boundary_fast_path(seed, monkeypatch):
     """The plain-Rice mean-space boundary fast path (srla_exact.cpp
     plain_rice_k) must decide exactly like the libm chain, including on
