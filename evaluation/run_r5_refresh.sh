@@ -5,14 +5,17 @@
 set -ex
 cd "$(dirname "$0")/.."
 
-# 1) Rerun the first six configs (measured with the pre-3c2e664 library).
+# 1) Rerun the configs measured with the pre-3c2e664 (old rice search)
+#    library where the stale rows LOSE to the reference; the -m 0 -P 3 rows
+#    already win with the old library and only understate us, so they keep
+#    their committed figures if time runs short.
 PYTHONUNBUFFERED=1 timeout 7200 python3 evaluation/evaluate_codecs.py \
   --corpus evaluation/corpus120 --backends exact tpu --repeats 3 \
   --out evaluation/results_r5_rerun.csv \
   --per-file evaluation/results_r5_rerun_per_file.csv \
   --configs \
-  "-m 0 -P 3 -B 2048" "-m 0 -P 3 -B 4096" "-m 0 -P 3 -B 8192" \
-  "-m 0 -V 2 -B 4096" "-m 0 -V 2 -B 8192" "-m 2 -V 2 -B 2048"
+  "-m 0 -V 2 -B 4096" "-m 0 -V 2 -B 8192" "-m 2 -V 2 -B 2048" \
+  "-m 0 -P 3 -B 2048" "-m 0 -P 3 -B 4096" "-m 0 -P 3 -B 8192"
 
 # 2) Adversarial corpus (transient/quiet/clipped/24-bit/4ch), two configs.
 PYTHONUNBUFFERED=1 timeout 5400 python3 evaluation/evaluate_codecs.py \
@@ -25,6 +28,7 @@ PYTHONUNBUFFERED=1 timeout 5400 python3 evaluation/evaluate_codecs.py \
 python3 evaluation/merge_grids.py evaluation/results_grid_120s_per_file.csv \
   evaluation/results_grid_120s_per_file.csv \
   evaluation/results_r5_grid_per_file.csv \
+  evaluation/results_r5_grid2_per_file.csv \
   evaluation/results_r5_rerun_per_file.csv
 python3 - <<'EOF'
 import csv, sys
