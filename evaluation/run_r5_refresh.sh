@@ -5,24 +5,40 @@
 set -ex
 cd "$(dirname "$0")/.."
 
-# 1) Rerun the configs measured with the pre-3c2e664 (old rice search)
-#    library where the stale rows LOSE to the reference; the -m 0 -P 3 rows
-#    already win with the old library and only understate us, so they keep
-#    their committed figures if time runs short.
-PYTHONUNBUFFERED=1 timeout 7200 python3 evaluation/evaluate_codecs.py \
-  --corpus evaluation/corpus120 --backends exact tpu --repeats 3 \
-  --out evaluation/results_r5_rerun.csv \
-  --per-file evaluation/results_r5_rerun_per_file.csv \
-  --configs \
-  "-m 0 -V 2 -B 4096" "-m 0 -V 2 -B 8192" "-m 2 -V 2 -B 2048" \
-  "-m 0 -P 3 -B 2048" "-m 0 -P 3 -B 4096" "-m 0 -P 3 -B 8192"
+# Grid rows keep the XLA-scan LPC synthesis: the Pallas kernel (default on
+# since r5) would add one remote Mosaic compile per NEW (B, W, M, Bp)
+# decode bucket — dozens across 22 configs, minutes each through this
+# tunnel — to improve only the decode rows, which are D2H-floor-bound here
+# (NOTES r5: 0.52 %RT floor) and already documented as losing to the native
+# path in this environment. bench.py measures the Pallas default separately.
+export SRLA_LPC_IMPL=xla
 
-# 2) Adversarial corpus (transient/quiet/clipped/24-bit/4ch), two configs.
-PYTHONUNBUFFERED=1 timeout 5400 python3 evaluation/evaluate_codecs.py \
+# 1) Adversarial corpus (transient/near-silence/clipped/24-bit/4ch) — these
+#    rows don't exist at all yet, so they run first.
+PYTHONUNBUFFERED=1 timeout 3600 python3 evaluation/evaluate_codecs.py \
   --corpus evaluation/corpus120x --backends exact tpu --repeats 3 \
   --out evaluation/results_adversarial_120s.csv \
   --per-file evaluation/results_adversarial_120s_per_file.csv \
   --configs "-m 4 -V 0 -B 4096" "-m 4 -P 3 -B 4096"
+
+# 2) Rerun every config whose committed row predates the round-5 library
+#    (rice-search rewrite 3c2e664, int16 H2D, pipelined D2H): all of the
+#    r3/r4-era grid rows that currently lose to the reference, worst first,
+#    so a timeout still refreshes the most misleading rows. Rows write
+#    incrementally; the merge below takes whatever finished.
+PYTHONUNBUFFERED=1 timeout 10800 python3 evaluation/evaluate_codecs.py \
+  --corpus evaluation/corpus120 --backends exact tpu --repeats 3 \
+  --out evaluation/results_r5_rerun.csv \
+  --per-file evaluation/results_r5_rerun_per_file.csv \
+  --configs \
+  "-m 4 -V 2 -B 8192" "-m 0 -V 2 -B 4096" "-m 0 -V 2 -B 8192" \
+  "-m 0 -V 2 -B 2048" "-m 2 -V 2 -B 4096" "-m 2 -V 2 -B 8192" \
+  "-m 2 -V 2 -B 2048" "-m 4 -V 0 -B 2048" "-m 4 -V 0 -B 4096" \
+  "-m 4 -V 0 -B 8192" "-m 4 -P 3 -B 2048" "-m 4 -P 3 -B 8192" \
+  "-m 6 -P 3 -B 4096" "-m 0 -P 3 -B 8192" "-m 0 -P 3 -B 4096" \
+  "-m 0 -V 0 -B 8192" "-m 0 -V 0 -B 4096" "-m 2 -P 3 -B 2048" \
+  "-m 2 -P 3 -B 8192" "-m 2 -P 3 -B 4096" "-m 2 -V 0 -B 8192" \
+  "-m 6 -V 0 -B 2048"
 
 # 3) Merge per-file rows (later wins) and rebuild the aggregate.
 python3 evaluation/merge_grids.py evaluation/results_grid_120s_per_file.csv \

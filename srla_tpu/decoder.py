@@ -37,6 +37,11 @@ _PAGE_LADDER = [1, 2, 3, 4, 6, 8, 12, 16, 24, 32, 48, 64, 96, 128, 192,
                 8192]
 
 
+# Shape buckets whose device decode program has executed once — i.e. the
+# Pallas LPC kernel (if routed) compiled and ran on this stack.
+_PALLAS_PROBED: set = set()
+
+
 def _bucket(v: int, floor: int = 1) -> int:
     for b in _PAGE_LADDER:
         if b >= max(v, floor):
@@ -535,10 +540,33 @@ class SRLADecoder:
                              (abs_bits & 31).astype(np.int32), Bp, C, M,
                              _MAX_LTP_C)
             has_ltp = bool((pp["ltp_periods"][sel] > 0).any())
-            out = decode_blocks_paged(
-                self._stream_pages(data), jnp.asarray(meta),
-                np.int32(header.offset_lshift), n=n, C=C, M=M, W=W,
-                has_ltp=has_ltp)
+            args = (self._stream_pages(data), jnp.asarray(meta),
+                    np.int32(header.offset_lshift))
+            kw = dict(n=n, C=C, M=M, W=W, has_ltp=has_ltp)
+            out = decode_blocks_paged(*args, **kw)
+            # First dispatch of a new shape bucket with the Pallas LPC
+            # kernel enabled: force one tiny fetch so a Mosaic compile
+            # failure (the remote-compile HTTP 500 class documented in
+            # tools/mosaic_repro.py) surfaces HERE — where it downgrades
+            # this process to the XLA scan — instead of blowing up the
+            # pipelined drain fetch. Costs one round-trip per bucket per
+            # process; later dispatches of the bucket skip the probe.
+            from .kernels import decode2 as _d2
+            bucket = (Bp, W, n, C, M, has_ltp)
+            if _d2._use_pallas_lpc() and bucket not in _PALLAS_PROBED:
+                try:
+                    np.asarray(out[(0,) * out.ndim])
+                    _PALLAS_PROBED.add(bucket)
+                except Exception:
+                    import warnings
+                    _d2._PALLAS_LPC["broken"] = True
+                    warnings.warn(
+                        "srla_tpu: Pallas LPC synthesis failed to "
+                        "compile/run on this stack; decoding with the "
+                        "XLA scan instead (SRLA_LPC_IMPL=pallas forces "
+                        "the kernel for debugging).", RuntimeWarning)
+                    decode_blocks_paged.clear_cache()
+                    out = decode_blocks_paged(*args, **kw)
         else:
             out = self._decode_group_staged(data, idxs, pp, poffs, psizes,
                                             header, n, C, W, M, use_v2)

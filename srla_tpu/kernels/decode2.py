@@ -476,13 +476,23 @@ def decode_blocks_paged(pages, meta, lshift, *, n: int, C: int, M: int,
 _MAX_LTP_C = 3                      # MAX_LTP_ORDER (srla_internal.h:27-35)
 
 
+# Flipped by decoder._decode_group_dispatch if the Mosaic compile of the
+# Pallas kernel fails on the deployed stack (remote-compile HTTP 500 class,
+# tools/mosaic_repro.py); subsequent dispatches retrace onto the XLA scan.
+_PALLAS_LPC = {"broken": False}
+
+
 def _use_pallas_lpc() -> bool:
-    """SRLA_LPC_IMPL=pallas routes the synthesis recurrence through the
-    Pallas kernel (kernels/pallas_lpc.py) on the TPU backend. Default is
-    the XLA scan until the hardware A/B (tools/pallas_lpc_ab.py) shows a
-    steady win on the deployed jaxlib/Mosaic stack."""
+    """Route the synthesis recurrence through the Pallas kernel
+    (kernels/pallas_lpc.py). Default ON for the TPU backend — the hardware
+    A/B (tools/pallas_lpc_ab.py, v5e) measured 5.6-76x over the XLA scan at
+    production shapes. SRLA_LPC_IMPL=xla opts out; =pallas forces it even
+    after a compile failure (for debugging)."""
     import os
-    if os.environ.get("SRLA_LPC_IMPL", "") != "pallas":
+    mode = os.environ.get("SRLA_LPC_IMPL", "auto")
+    if mode in ("xla", "scan", "0"):
+        return False
+    if _PALLAS_LPC["broken"] and mode != "pallas":
         return False
     try:
         return jax.default_backend() == "tpu"

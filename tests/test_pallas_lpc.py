@@ -57,6 +57,27 @@ def test_matches_xla_scan_fused_deemph(R, n, M):
     np.testing.assert_array_equal(got, want)
 
 
+@pytest.mark.parametrize("chunk", [16, 40])
+def test_chunked_sample_axis(chunk):
+    # The production path chunks n at _CHUNK=2048 with the window/de-emph
+    # state carried across grid steps in VMEM scratch; force tiny chunks so
+    # the carry crosses many boundaries (incl. a warm-up ramp that spans
+    # one) and a non-dividing chunk exercises the sample-axis pad.
+    R, n, M = (130, 96, 16)
+    res, aligned, orders, rshifts = _mk(R, n, M, seed=3)
+    rng = np.random.RandomState(11)
+    dcoef = rng.randint(0, 16, R).astype(np.int32)
+    dprev = rng.randint(-30000, 30000, R).astype(np.int32)
+    want = np.asarray(_lpc_scan(jnp.asarray(res), jnp.asarray(aligned),
+                                jnp.asarray(orders), jnp.asarray(rshifts),
+                                n, M, dcoef=jnp.asarray(dcoef),
+                                dprev=jnp.asarray(dprev)))
+    got = np.asarray(lpc_scan_pallas(res, aligned, orders, rshifts, n, M,
+                                     dcoef=dcoef, dprev=dprev,
+                                     interpret=True, chunk=chunk))
+    np.testing.assert_array_equal(got, want)
+
+
 def test_wrapping_int32_semantics():
     # Large residuals/coefs force int32 overflow in the window dot — both
     # paths must wrap identically (two's complement), not saturate.
